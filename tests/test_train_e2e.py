@@ -1,0 +1,99 @@
+"""End-to-end: synthetic data -> train -> eval quality, plus the
+train_val_test loop contract (baseline eval, epoch metrics, limits)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.train.loop import evaluate, train_val_test
+from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
+from two_tower_recommender_model_tpu.train.step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _linear_head(mcfg):
+    return dataclasses.replace(
+        mcfg,
+        query_tower=dataclasses.replace(mcfg.query_tower, final_activation=False),
+        candidate_tower=dataclasses.replace(mcfg.candidate_tower, final_activation=False),
+    )
+
+
+def test_learns_above_chance():
+    mcfg = _linear_head(
+        cfg_lib.two_tower_model_config(num_users=300, num_items=120, embedding_dim=16,
+                                       layer_sizes=(32, 16))
+    )
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.1, learning_rate=3e-3)
+    ds = SyntheticClickstream(300, 120, seed=3, noise=0.05, latent_dim=4)
+    feat = Featurizer(mcfg)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    tstep = make_train_step(mcfg, tcfg, dense_opt)
+    estep = make_eval_step(mcfg, tcfg)
+    base = evaluate(state, estep, ds.batches(512, 8, "val"), feat)
+    for batch in prefetch_to_device(ds.batches(512, 300), feat):
+        state, _ = tstep(state, batch)
+    final = evaluate(state, estep, ds.batches(512, 8, "val"), feat)
+    assert final["val_auroc"] > 0.75, (base, final)
+    assert final["val_loss"] < base["val_loss"]
+
+
+def test_train_val_test_contract():
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(
+        epochs=2, limit_train_batches=5, limit_val_batches=2, limit_test_batches=2,
+        validation_freq=3,
+    )
+    ds = SyntheticClickstream(50, 30, seed=0)
+    feat = Featurizer(mcfg)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    tstep = make_train_step(mcfg, tcfg, dense_opt)
+    estep = make_eval_step(mcfg, tcfg)
+
+    logged = []
+
+    class Logger:
+        def log_metrics(self, m, step=None):
+            logged.append((step, m))
+
+    state, results = train_val_test(
+        state, tstep, estep, mcfg, tcfg, feat,
+        train_batches_factory=lambda ep: ds.batches(64, 10, split=f"e{ep}"),
+        val_batches_factory=lambda: ds.batches(64, 4, split="val"),
+        test_batches_factory=lambda: ds.batches(64, 4, split="test"),
+        logger=Logger(),
+    )
+    # reference contract: baseline val, per-epoch val, final test (03_model_training.py:632-685)
+    for key in ("baseline_val_loss", "baseline_val_auroc", "val_loss", "val_auroc",
+                "test_loss", "test_auroc", "train_steps", "examples_per_sec"):
+        assert key in results, key
+    assert int(state.step) == 10  # 2 epochs x limit_train_batches=5
+    assert results["train_steps"] == 5
+    assert len(logged) >= 3
+    assert all(np.isfinite(v) for v in results.values() if isinstance(v, float))
+
+
+def test_determinism_same_seed():
+    mcfg = cfg_lib.two_tower_model_config(num_users=40, num_items=20, embedding_dim=8)
+    tcfg = cfg_lib.TrainConfig()
+    ds = SyntheticClickstream(40, 20, seed=7)
+    feat = Featurizer(mcfg)
+
+    def run():
+        state, dense_opt = create_train_state(jax.random.key(5), mcfg, tcfg)
+        tstep = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+        for batch in prefetch_to_device(ds.batches(64, 5), feat):
+            state, out = tstep(state, batch)
+        return np.asarray(state.tables["t_user_id"]), float(out["loss"])
+
+    t1, l1 = run()
+    t2, l2 = run()
+    np.testing.assert_array_equal(t1, t2)
+    assert l1 == l2

@@ -1,0 +1,6 @@
+from two_tower_recommender_model_tpu.data.featurizer import (  # noqa: F401
+    Batch,
+    SparseFeature,
+    Featurizer,
+)
+from two_tower_recommender_model_tpu.data.synthetic import SyntheticClickstream  # noqa: F401

@@ -1,0 +1,85 @@
+"""Losses.
+
+- `bce_with_logits` — parity with the reference training objective
+  (`nn.BCEWithLogitsLoss` over dot-product logits, `03_model_training.py:444-453`).
+- `weighted_bce_with_logits` — the per-interaction-type weighted variant
+  (`ray_tune_optuna_tuning_alex_test.py:308-318`).
+- `in_batch_sampled_softmax` — the TPU-first retrieval objective: every other
+  positive item in the batch is a negative (one `[B, B]` MXU matmul instead of
+  offline negative mining), with optional logQ sampling-bias correction and
+  accidental-hit masking. This is the north-star loss (BASELINE.json) — the
+  offline-negative BCE mode remains the parity default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jax.Array, labels: jax.Array, weights: jax.Array | None = None) -> jax.Array:
+    """Mean binary cross-entropy on logits (numerically stable form)."""
+    labels = labels.astype(logits.dtype)
+    per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if weights is not None:
+        per = per * weights.astype(per.dtype)
+        return per.sum() / jnp.maximum(weights.sum(), 1.0)
+    return per.mean()
+
+
+def weighted_bce_with_logits(
+    logits: jax.Array, labels: jax.Array, type_onehot: jax.Array, type_weights: jax.Array
+) -> jax.Array:
+    """BCE weighted per interaction type, types given as one-hot dense columns
+    (`ray_tune_optuna_tuning_alex_test.py:308-318`)."""
+    weights = type_onehot.astype(logits.dtype) @ type_weights.astype(logits.dtype)
+    return bce_with_logits(logits, labels, weights)
+
+
+def in_batch_sampled_softmax(
+    query_emb: jax.Array,  # [B, D]
+    cand_emb: jax.Array,  # [B, D]
+    labels: jax.Array,  # [B] — only rows with label==1 contribute (their item is the positive)
+    item_ids: jax.Array | None = None,  # [B] raw ids for accidental-hit masking
+    log_q: jax.Array | None = None,  # [B] log sampling probability of each in-batch item
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Sampled softmax over in-batch negatives.
+
+    scores[i, j] = <q_i, c_j> / T; row i's positive is column i. Rows whose
+    label is 0 (offline negatives, if present in the batch) are dropped from
+    the loss but still serve as negatives columns. logQ correction subtracts
+    the (estimated) log-probability that item j appears in the batch, removing
+    popular-item bias. Columns with the same item id as the row's positive are
+    masked out (accidental hits).
+    """
+    scores = jnp.dot(query_emb, cand_emb.T, preferred_element_type=jnp.float32) / temperature
+    b = scores.shape[0]
+    if log_q is not None:
+        scores = scores - log_q[None, :].astype(scores.dtype)
+    eye = jnp.eye(b, dtype=bool)
+    if item_ids is not None:
+        dup = item_ids[None, :] == item_ids[:, None]
+        mask = dup & ~eye
+        scores = jnp.where(mask, -1e9, scores)
+    logprobs = jax.nn.log_softmax(scores, axis=1)
+    per_row = -jnp.diagonal(logprobs)
+    w = labels.astype(per_row.dtype)
+    return (per_row * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def make_loss_fn(name: str):
+    if name == "bce":
+        def loss_fn(q, c, batch, log_q=None):
+            logits = jnp.sum(q * c, axis=1)
+            return bce_with_logits(logits, batch.labels), logits
+        return loss_fn
+    if name == "sampled_softmax":
+        def loss_fn(q, c, batch, log_q=None):
+            logits = jnp.sum(q * c, axis=1)
+            item_ids = None
+            # Use the first candidate-side feature's ids for accidental hits.
+            loss = in_batch_sampled_softmax(q, c, batch.labels, item_ids, log_q)
+            return loss, logits
+        return loss_fn
+    raise ValueError(f"unknown loss {name!r}")

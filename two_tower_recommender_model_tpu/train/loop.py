@@ -1,0 +1,155 @@
+"""Training/eval loops — the role of the reference's `train_val_test`,
+`train`, and `evaluate` (`03_model_training.py:504-685`).
+
+Shape preserved from the reference:
+- a baseline validation eval before any training (`:651`),
+- per epoch: train -> validation eval -> metric logging -> checkpoint,
+- optional mid-epoch validation every `validation_freq` steps (`:595-617`),
+- `limit_{train,val,test}_batches` truncation (`:568-585`),
+- a final test eval (`:668-674`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import time
+from typing import Callable, Iterable
+
+import jax
+
+from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
+from two_tower_recommender_model_tpu.data.featurizer import Featurizer
+from two_tower_recommender_model_tpu.models.metrics import auroc_compute, mean_compute
+from two_tower_recommender_model_tpu.train import pipeline as pipeline_lib
+from two_tower_recommender_model_tpu.train.step import TrainState, eval_state_init
+
+log = logging.getLogger(__name__)
+
+
+def evaluate(
+    state: TrainState,
+    eval_step: Callable,
+    batches: Iterable[dict],
+    featurizer: Featurizer,
+    limit_batches: int | None = None,
+    stage: str = "val",
+    sharding=None,
+) -> dict[str, float]:
+    """One pass of eval; returns {"<stage>_loss", "<stage>_auroc"}
+    (`03_model_training.py:504-566`)."""
+    es = eval_state_init()
+    it = iter(batches)
+    if limit_batches is not None:
+        it = itertools.islice(it, limit_batches)
+    n = 0
+    for batch in pipeline_lib.prefetch_to_device(it, featurizer, sharding=sharding):
+        es = eval_step(state, es, batch)
+        n += 1
+    loss = float(mean_compute(es.loss)) if n else float("nan")
+    auroc = float(auroc_compute(es.auroc)) if n else float("nan")
+    return {f"{stage}_loss": loss, f"{stage}_auroc": auroc}
+
+
+def train_one_epoch(
+    state: TrainState,
+    train_step: Callable,
+    batches: Iterable[dict],
+    featurizer: Featurizer,
+    train_cfg: TrainConfig,
+    eval_step: Callable | None = None,
+    val_batches_factory: Callable[[], Iterable[dict]] | None = None,
+    logger=None,
+    epoch: int = 0,
+    sharding=None,
+) -> tuple[TrainState, dict[str, float]]:
+    it = iter(batches)
+    if train_cfg.limit_train_batches is not None:
+        it = itertools.islice(it, train_cfg.limit_train_batches)
+
+    steps = 0
+    examples = 0
+    t0 = time.perf_counter()
+    last_loss = None
+    for batch in pipeline_lib.prefetch_to_device(it, featurizer, sharding=sharding):
+        state, out = train_step(state, batch)
+        last_loss = out["loss"]
+        steps += 1
+        examples += batch.batch_size
+        if (
+            train_cfg.validation_freq
+            and eval_step is not None
+            and val_batches_factory is not None
+            and steps % train_cfg.validation_freq == 0
+        ):
+            metrics = evaluate(
+                state, eval_step, val_batches_factory(), featurizer,
+                train_cfg.limit_val_batches, "val", sharding,
+            )
+            log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
+            if logger is not None:
+                logger.log_metrics(metrics, step=int(state.step))
+    if last_loss is not None:
+        last_loss = float(jax.block_until_ready(last_loss))
+    dt = time.perf_counter() - t0
+    stats = {
+        "train_steps": steps,
+        "train_examples": examples,
+        "train_loss": last_loss if last_loss is not None else float("nan"),
+        "examples_per_sec": examples / dt if dt > 0 else 0.0,
+        "epoch_time_s": dt,
+    }
+    return state, stats
+
+
+def train_val_test(
+    state: TrainState,
+    train_step: Callable,
+    eval_step: Callable,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    featurizer: Featurizer,
+    train_batches_factory: Callable[[int], Iterable[dict]],
+    val_batches_factory: Callable[[], Iterable[dict]],
+    test_batches_factory: Callable[[], Iterable[dict]],
+    logger=None,
+    checkpoint_fn: Callable[[TrainState, int], None] | None = None,
+    sharding=None,
+) -> tuple[TrainState, dict[str, float]]:
+    results: dict[str, float] = {}
+
+    metrics = evaluate(
+        state, eval_step, val_batches_factory(), featurizer,
+        train_cfg.limit_val_batches, "val", sharding,
+    )
+    log.info("baseline %s", metrics)
+    results.update({f"baseline_{k}": v for k, v in metrics.items()})
+    if logger is not None:
+        logger.log_metrics(results, step=0)
+
+    for epoch in range(train_cfg.epochs):
+        state, stats = train_one_epoch(
+            state, train_step, train_batches_factory(epoch), featurizer, train_cfg,
+            eval_step, val_batches_factory, logger, epoch, sharding,
+        )
+        metrics = evaluate(
+            state, eval_step, val_batches_factory(), featurizer,
+            train_cfg.limit_val_batches, "val", sharding,
+        )
+        log.info("epoch %d train %s val %s", epoch, stats, metrics)
+        results.update(metrics)
+        results.update({k: v for k, v in stats.items()})
+        if logger is not None:
+            logger.log_metrics({**stats, **metrics, "epoch": epoch}, step=int(state.step))
+        if checkpoint_fn is not None and (epoch + 1) % train_cfg.checkpoint_every_epochs == 0:
+            checkpoint_fn(state, epoch)
+
+    metrics = evaluate(
+        state, eval_step, test_batches_factory(), featurizer,
+        train_cfg.limit_test_batches, "test", sharding,
+    )
+    log.info("test %s", metrics)
+    results.update(metrics)
+    if logger is not None:
+        logger.log_metrics(metrics, step=int(state.step))
+    return state, results

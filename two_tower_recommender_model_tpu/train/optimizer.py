@@ -1,0 +1,103 @@
+"""Optimizers: fused row-wise Adagrad for embedding tables, Adam for towers.
+
+The reference splits optimization the same way (SURVEY §2.5): sparse tables get
+fbgemm's fused `RowWiseAdagrad` applied *in the backward* with no dense table
+gradient (`apply_optimizer_in_backward`, `03_model_training.py:791-795`); dense
+towers get Adam via `KeyedOptimizerWrapper` (`03_model_training.py:826-829`).
+
+Row-wise Adagrad semantics (fbgemm): per-row accumulator
+    acc_row += mean(g_row^2);  row -= lr * g_row / (sqrt(acc_row) + eps)
+where g_row is the *aggregated* gradient over duplicate occurrences of the row
+in the batch.
+
+Two implementations:
+- `sparse_rowwise_adagrad` (default): sort ids, aggregate duplicates with
+  segment ops, gather/update/scatter only touched rows — O(B·D) HBM traffic,
+  independent of table size. Dead slots carry an out-of-range sentinel id and
+  are dropped by `mode="drop"` scatters.
+- `dense_rowwise_adagrad`: transient dense-gradient variant (scatter-add into
+  a table-shaped buffer). O(N·D) traffic; test oracle + small-table path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def row_grad_flatten(
+    ids: jax.Array,  # [B, L]
+    mask: jax.Array,  # [B, L]
+    row_grads: jax.Array,  # [B, L, D]
+    num_rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Flatten per-slot grads to ([M] ids, [M, D] grads); dead slots get the
+    sentinel id `num_rows` (dropped downstream)."""
+    flat_ids = jnp.where(mask.reshape(-1) > 0, ids.reshape(-1), num_rows).astype(jnp.int32)
+    flat_g = row_grads.reshape(-1, row_grads.shape[-1])
+    return flat_ids, flat_g
+
+
+def sparse_rowwise_adagrad(
+    table: jax.Array,  # [N, D]
+    acc: jax.Array,  # [N]
+    flat_ids: jax.Array,  # [M] (sentinel N for dead)
+    flat_grads: jax.Array,  # [M, D]
+    lr: float,
+    eps: float = 1e-10,
+) -> tuple[jax.Array, jax.Array]:
+    n, d = table.shape
+    m = flat_ids.shape[0]
+    order = jnp.argsort(flat_ids)
+    sids = flat_ids[order]
+    sg = flat_grads[order].astype(jnp.float32)
+    # Segment per distinct id: duplicate occurrences aggregate before the
+    # accumulator update (fbgemm gradient-aggregation semantics).
+    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(starts) - 1  # [M], values in [0, M)
+    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)  # [M, D]
+    rep = jax.ops.segment_max(sids, seg, num_segments=m)  # row id per segment (or N / int32 min for empty)
+    valid = (rep >= 0) & (rep < n)
+    safe = jnp.where(valid, rep, 0)
+
+    rows = table[safe].astype(jnp.float32)
+    acc_rows = acc[safe].astype(jnp.float32)
+    g2 = jnp.mean(g_seg * g_seg, axis=1)
+    new_acc_rows = acc_rows + g2
+    denom = jnp.sqrt(new_acc_rows) + eps
+    new_rows = rows - lr * g_seg / denom[:, None]
+
+    scatter_idx = jnp.where(valid, rep, n)  # out-of-range => dropped
+    new_table = table.at[scatter_idx].set(new_rows.astype(table.dtype), mode="drop")
+    new_acc = acc.at[scatter_idx].set(new_acc_rows.astype(acc.dtype), mode="drop")
+    return new_table, new_acc
+
+
+def dense_rowwise_adagrad(
+    table: jax.Array,
+    acc: jax.Array,
+    flat_ids: jax.Array,
+    flat_grads: jax.Array,
+    lr: float,
+    eps: float = 1e-10,
+) -> tuple[jax.Array, jax.Array]:
+    n, d = table.shape
+    g = (
+        jnp.zeros((n, d), jnp.float32)
+        .at[flat_ids]
+        .add(flat_grads.astype(jnp.float32), mode="drop")
+    )
+    touched = jnp.zeros((n,), bool).at[flat_ids].set(True, mode="drop")
+    g2 = jnp.mean(g * g, axis=1)
+    new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
+    denom = jnp.sqrt(new_acc) + eps
+    new_table = jnp.where(
+        touched[:, None], table.astype(jnp.float32) - lr * g / denom[:, None], table
+    )
+    return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
+
+
+def dense_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam for the dense towers (`03_model_training.py:826-829`)."""
+    return optax.adam(learning_rate)

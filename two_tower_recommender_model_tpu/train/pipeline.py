@@ -1,0 +1,73 @@
+"""Host->device input pipeline: featurize + transfer ahead of compute.
+
+The role of the reference's `TrainPipelineSparseDist` overlap (H2D copy stream
++ input-dist + compute, `03_model_training.py:648`) re-done the TPU way: JAX
+dispatch is async, so keeping N batches in flight means simply featurizing and
+`jax.device_put`-ing ahead of the step that consumes them — the transfer and
+the previous step's compute overlap without explicit streams. A background
+thread hides featurizer CPU time too.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import jax
+
+from two_tower_recommender_model_tpu.data.featurizer import Batch
+
+
+def device_put_batch(batch: Batch, sharding=None) -> Batch:
+    if sharding is None:
+        return jax.tree.map(jax.device_put, batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding(x)), batch)
+
+
+def prefetch_to_device(
+    columns_iter: Iterable[dict],
+    featurize: Callable[[dict], Batch],
+    prefetch: int = 2,
+    sharding=None,
+    background: bool = True,
+) -> Iterator[Batch]:
+    """Yield device-resident Batches, keeping `prefetch` transfers in flight."""
+    if background:
+        q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+        stop = object()
+        err: list[BaseException] = []
+
+        def worker():
+            try:
+                for cols in columns_iter:
+                    q.put(featurize(cols))
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+
+        def host_batches():
+            while True:
+                item = q.get()
+                if item is stop:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+
+        source = host_batches()
+    else:
+        source = (featurize(cols) for cols in columns_iter)
+
+    buf: collections.deque = collections.deque()
+    for hb in source:
+        buf.append(device_put_batch(hb, sharding))
+        if len(buf) > prefetch:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,183 @@
+"""Train/eval steps: two-stage backward with fused sparse update.
+
+One jit-compiled program per step — the TPU answer to the reference's
+`TrainPipelineSparseDist` stream-overlap machinery (`03_model_training.py:648`):
+XLA overlaps the gather DMAs, MXU tower matmuls and (in the sharded build)
+ICI collectives inside a single compiled step, while the host-side prefetcher
+(`train/pipeline.py`) keeps the next batch in flight.
+
+Gradient flow (the `apply_optimizer_in_backward` design,
+`03_model_training.py:791-795`):
+
+  stage A  pooled = gather+pool(tables, ids)          (outside autodiff)
+  stage B  (loss, logits), (d_dense, d_pooled) = grad of towers+loss
+  stage C  d_pooled -> per-row grads -> fused row-wise Adagrad scatter
+           d_dense  -> Adam
+
+The table gradient therefore never exists as a dense [N, D] array in the
+autodiff graph, and stage C touches only the rows present in the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
+from two_tower_recommender_model_tpu.data.featurizer import Batch
+from two_tower_recommender_model_tpu.models import losses as losses_lib
+from two_tower_recommender_model_tpu.models import two_tower
+from two_tower_recommender_model_tpu.models.metrics import (
+    AUROCState,
+    MeanState,
+    auroc_init,
+    auroc_update,
+    mean_init,
+    mean_update,
+)
+from two_tower_recommender_model_tpu.ops.embedding_ops import row_grads_from_pooled
+from two_tower_recommender_model_tpu.train import optimizer as opt_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # scalar int32
+    tables: dict[str, jax.Array]
+    adagrad_acc: dict[str, jax.Array]  # per-table [N] row accumulators
+    dense_params: dict
+    dense_opt_state: optax.OptState
+
+
+def dense_param_tree(params: dict) -> dict:
+    return {"query_tower": params["query_tower"], "candidate_tower": params["candidate_tower"]}
+
+
+def full_params(state: TrainState) -> dict:
+    return {"tables": state.tables, **state.dense_params}
+
+
+def create_train_state(
+    rng: jax.Array, model_cfg: ModelConfig, train_cfg: TrainConfig
+) -> tuple[TrainState, optax.GradientTransformation]:
+    params = two_tower.init_params(rng, model_cfg)
+    dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
+    dense_params = dense_param_tree(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        tables=params["tables"],
+        adagrad_acc={
+            name: jnp.zeros((t.shape[0],), jnp.float32) for name, t in params["tables"].items()
+        },
+        dense_params=dense_params,
+        dense_opt_state=dense_opt.init(dense_params),
+    )
+    return state, dense_opt
+
+
+def _table_flat_grads(
+    model_cfg: ModelConfig, batch: Batch, pooled_grads: dict[str, jax.Array]
+) -> dict[str, tuple[jax.Array, jax.Array]]:
+    """Collect ([M] ids, [M, D] grads) per *table*, concatenating all features
+    that read it (TorchRec's table/feature fan-in)."""
+    per_table: dict[str, list] = {t.name: [] for t in model_cfg.tables}
+    for fc in model_cfg.features:
+        table = model_cfg.table(fc.table)
+        feat = batch.features[fc.name]
+        rg = row_grads_from_pooled(pooled_grads[fc.name], feat.mask, fc.pooling)
+        fid, fg = opt_lib.row_grad_flatten(feat.ids, feat.mask, rg, table.num_embeddings)
+        per_table[fc.table].append((fid, fg))
+    out = {}
+    for name, parts in per_table.items():
+        if not parts:
+            continue
+        ids = jnp.concatenate([p[0] for p in parts]) if len(parts) > 1 else parts[0][0]
+        gs = jnp.concatenate([p[1] for p in parts]) if len(parts) > 1 else parts[0][1]
+        out[name] = (ids, gs)
+    return out
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    dense_opt: optax.GradientTransformation,
+    sparse_update: Callable = opt_lib.sparse_rowwise_adagrad,
+    donate: bool = True,
+):
+    """Single-device jitted train step. The multi-chip version with sharded
+    tables lives in `parallel/sharded.py` and shares stages B/C."""
+    loss_fn = losses_lib.make_loss_fn(train_cfg.loss)
+
+    def step(state: TrainState, batch: Batch):
+        pooled = two_tower.pooled_embeddings(state.tables, batch, model_cfg)
+
+        def loss_of(dense_params, pooled):
+            q, c = two_tower.towers_forward(dense_params, pooled, batch.dense, model_cfg)
+            loss, logits = loss_fn(q, c, batch)
+            return loss, logits
+
+        (loss, logits), (d_dense, d_pooled) = jax.value_and_grad(
+            loss_of, argnums=(0, 1), has_aux=True
+        )(state.dense_params, pooled)
+
+        updates, new_opt_state = dense_opt.update(
+            d_dense, state.dense_opt_state, state.dense_params
+        )
+        new_dense = optax.apply_updates(state.dense_params, updates)
+
+        new_tables = dict(state.tables)
+        new_acc = dict(state.adagrad_acc)
+        for tname, (fids, fgrads) in _table_flat_grads(model_cfg, batch, d_pooled).items():
+            new_tables[tname], new_acc[tname] = sparse_update(
+                state.tables[tname],
+                state.adagrad_acc[tname],
+                fids,
+                fgrads,
+                train_cfg.sparse_learning_rate,
+                train_cfg.adagrad_eps,
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            tables=new_tables,
+            adagrad_acc=new_acc,
+            dense_params=new_dense,
+            dense_opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss, "logits": logits}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+@flax.struct.dataclass
+class EvalState:
+    """Running eval metrics (the reference `evaluate` loop's AUROC + mean loss,
+    `03_model_training.py:504-566`)."""
+
+    auroc: AUROCState
+    loss: MeanState
+
+
+def eval_state_init(bins: int = 8192) -> EvalState:
+    return EvalState(auroc=auroc_init(bins), loss=mean_init())
+
+
+def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig):
+    loss_fn = losses_lib.make_loss_fn("bce")  # eval metric parity: BCE + AUROC
+
+    @jax.jit
+    def step(state: TrainState, eval_state: EvalState, batch: Batch):
+        params = full_params(state)
+        q, c = two_tower.forward(params, batch, model_cfg)
+        loss, logits = loss_fn(q, c, batch)
+        n = jnp.float32(batch.labels.shape[0])
+        return EvalState(
+            auroc=auroc_update(eval_state.auroc, logits, batch.labels),
+            loss=mean_update(eval_state.loss, loss, n),
+        )
+
+    return step
