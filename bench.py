@@ -1,0 +1,76 @@
+"""Headline benchmark: two-tower training throughput (examples/s) on 1 chip.
+
+Reference baseline (BASELINE.md): the TorchRec stack trains the 26M-sample
+Instacart set in ~16 min/epoch on one A10 => ~27k examples/s
+(`03_model_training.py:866`). Same model here: 206k-user / 50k-item tables,
+dim 128, towers [128, 64], BCE loss, fused row-wise Adagrad (sparse) + Adam
+(dense) — measured end-to-end including host featurization and H2D transfer
+via the prefetching pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+
+BASELINE_EXAMPLES_PER_SEC = 27_000.0  # 1x A10, derived in BASELINE.md
+
+
+def main() -> None:
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 16384))
+    warmup_steps = 10
+    measure_steps = int(os.environ.get("BENCH_STEPS", 60))
+
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=206_209, num_items=49_688, embedding_dim=128, layer_sizes=(128, 64)
+    )
+    tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
+    ds = SyntheticClickstream(num_users=206_209, num_items=49_688, seed=0)
+    featurizer = Featurizer(mcfg)
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    train_step = make_train_step(mcfg, tcfg, dense_opt)
+
+    # Pre-generate host column batches; cycle them so the measurement covers
+    # featurization + H2D + step dispatch at steady state.
+    host_batches = [ds.sample(batch_size, start=i) for i in range(16)]
+    stream = itertools.islice(itertools.cycle(host_batches), warmup_steps + measure_steps)
+
+    n = 0
+    t0 = None
+    for batch in prefetch_to_device(stream, featurizer, prefetch=2):
+        state, out = train_step(state, batch)
+        n += 1
+        if n == warmup_steps:
+            jax.block_until_ready(out["loss"])
+            t0 = time.perf_counter()
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    examples_per_sec = measure_steps * batch_size / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "two_tower_train_examples_per_sec_1chip",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Multi-device correctness on the 8-device CPU mesh: the sharded train step
+must reproduce the single-device step bit-for-bit (up to float tolerance) —
+the TPU analog of validating DMP against single-GPU numerics (SURVEY §7.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    plan_sharding,
+    shard_train_state,
+)
+from two_tower_recommender_model_tpu.parallel.planner import REPLICATED, ROW_SHARDED
+from two_tower_recommender_model_tpu.parallel.sharded import (
+    make_sharded_lookup,
+    unshard_train_state,
+)
+from two_tower_recommender_model_tpu.train.step import (
+    create_train_state,
+    eval_state_init,
+    make_eval_step,
+    make_train_step,
+)
+from two_tower_recommender_model_tpu.models.metrics import auroc_compute, mean_compute
+
+
+def _put_batch(batch, mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh(x)), batch)
+
+
+@pytest.fixture
+def setup():
+    mcfg = cfg_lib.two_tower_model_config(num_users=100, num_items=60, embedding_dim=16,
+                                          layer_sizes=(32, 8))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    ds = SyntheticClickstream(100, 60, seed=2)
+    feat = Featurizer(mcfg)
+    batches = [jax.tree.map(jnp.asarray, feat(ds.sample(64, start=i))) for i in range(4)]
+    return mcfg, tcfg, batches
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_device(setup, mesh_shape):
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(*mesh_shape)
+    plan = plan_sharding(mcfg, mesh.devices.size, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    assert plan["t_user_id"].padded_rows % 8 == 0
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+
+    # single-device reference
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            gathered.adagrad_acc[name], np.asarray(ref_state.adagrad_acc[name]),
+            rtol=1e-4, atol=1e-6,
+        )
+    ref_dense = jax.tree.leaves(ref_state.dense_params)
+    got_dense = jax.tree.leaves(gathered.dense_params)
+    for a, b in zip(got_dense, ref_dense):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_mixed_replicated_and_sharded(setup):
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": REPLICATED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches[:2]:
+        ref_state, _ = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches[:2]:
+        sh_state, _ = step(sh_state, _put_batch(b, mesh))
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_sharded_lookup_vs_local(rng):
+    mesh = make_mesh(4, 2)
+    table = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, (16, 3)), jnp.int32)
+    w = jnp.asarray((rng.random((16, 3)) > 0.3), jnp.float32)
+    lookup = make_sharded_lookup(mesh)
+    got = jax.jit(lookup)(
+        jax.device_put(table, jax.NamedSharding(mesh, jax.P(("data", "model"), None))),
+        ids, w,
+    )
+    want = (np.asarray(table)[np.asarray(ids)] * np.asarray(w)[..., None]).sum(1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_eval_matches_single(setup):
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, _ = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_es = eval_state_init()
+    ref_estep = make_eval_step(mcfg, tcfg)
+    for b in batches:
+        ref_es = ref_estep(state, ref_es, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    estep = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
+    es = eval_state_init()
+    for b in batches:
+        es = estep(sh_state, es, _put_batch(b, mesh))
+    np.testing.assert_allclose(float(mean_compute(es.loss)), float(mean_compute(ref_es.loss)), rtol=1e-5)
+    np.testing.assert_allclose(float(auroc_compute(es.auroc)), float(auroc_compute(ref_es.auroc)), rtol=1e-5)
+
+
+def test_planner_budget_and_plan_print():
+    mcfg = cfg_lib.two_tower_model_config(num_users=100_000, num_items=50_000,
+                                          embedding_dim=128)
+    plan = plan_sharding(mcfg, 8, replicate_threshold_bytes=1 << 20)
+    assert plan["t_user_id"].strategy == ROW_SHARDED
+    desc = plan.describe()
+    assert "t_user_id" in desc and "row_sharded" in desc
+    with pytest.raises(MemoryError):
+        plan_sharding(mcfg, 8, hbm_budget_bytes=4 << 20, replicate_threshold_bytes=1 << 20)
+    # single device => everything replicated
+    plan1 = plan_sharding(mcfg, 1)
+    assert all(s.strategy == REPLICATED for s in plan1.specs.values())

@@ -1,0 +1,12 @@
+from two_tower_recommender_model_tpu.parallel.mesh import make_mesh, topology_summary  # noqa: F401
+from two_tower_recommender_model_tpu.parallel.planner import (  # noqa: F401
+    ShardingPlan,
+    TableShard,
+    plan_sharding,
+)
+from two_tower_recommender_model_tpu.parallel.sharded import (  # noqa: F401
+    batch_sharding,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    shard_train_state,
+)

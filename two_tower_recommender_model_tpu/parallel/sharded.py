@@ -1,0 +1,327 @@
+"""Sharded embedding lookup/update collectives + the multi-chip train step.
+
+The TPU-native replacement for TorchRec `DistributedModelParallel` +
+`TrainPipelineSparseDist` (`03_model_training.py:648,797-815`): tables are
+row-sharded over the flattened (data, model) mesh — each row exists once
+globally — dense towers are replicated with data-parallel grads, and the
+sparse exchange rides XLA collectives instead of NCCL all-to-alls:
+
+  forward   all_gather(ids over data)            # tiny: B*L int32
+            local partial pool from own rows     # Pallas/XLA gather
+            psum_scatter(partial over data)      # B_glob*D floats
+            psum(over model)                     # B_loc*D floats
+  backward  all_gather(pooled grads over data)   # B_glob*D floats
+            fused row-wise Adagrad scatter into the local shard only
+
+Communication per step is O(batch x dim), independent of table size, and all
+of it can ride ICI. There is no id->owner all-to-all and no host sync; the
+whole train step is one jit program, so XLA overlaps the collectives with the
+dense tower compute (the role of the reference's CUDA-stream overlap).
+
+Replicated (small) tables take the DDP-style path: local lookup, all_gather
+the batch grads over data, identical deterministic Adagrad update everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
+from two_tower_recommender_model_tpu.data.featurizer import Batch
+from two_tower_recommender_model_tpu.models import losses as losses_lib
+from two_tower_recommender_model_tpu.models import two_tower
+from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_update
+from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED, ShardingPlan
+from two_tower_recommender_model_tpu.train import optimizer as opt_lib
+from two_tower_recommender_model_tpu.train.step import EvalState, TrainState
+
+# ---------------------------------------------------------------------------
+# placement helpers
+
+
+def batch_sharding(mesh) -> Callable:
+    """Leaf -> NamedSharding placing the leading (batch) dim on the data axis."""
+    def fn(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return NamedSharding(mesh, spec)
+    return fn
+
+
+def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState:
+    """Pad row-sharded tables to the device multiple and place everything:
+    tables P((data, model), None) or replicated; dense params + opt state
+    replicated. The materialize-on-device moment of `DistributedModelParallel`
+    (`03_model_training.py:812-815`)."""
+    rep = NamedSharding(mesh, P())
+    tables, accs = {}, {}
+    for name, spec in plan.specs.items():
+        t = state.tables[name]
+        a = state.adagrad_acc[name]
+        if spec.strategy == ROW_SHARDED:
+            pad = spec.padded_rows - t.shape[0]
+            if pad:
+                t = jnp.pad(t, ((0, pad), (0, 0)))
+                a = jnp.pad(a, (0, pad))
+            tables[name] = jax.device_put(t, NamedSharding(mesh, P(FLAT_AXES, None)))
+            accs[name] = jax.device_put(a, NamedSharding(mesh, P(FLAT_AXES)))
+        else:
+            tables[name] = jax.device_put(t, rep)
+            accs[name] = jax.device_put(a, rep)
+    return TrainState(
+        step=jax.device_put(state.step, rep),
+        tables=tables,
+        adagrad_acc=accs,
+        dense_params=jax.device_put(state.dense_params, rep),
+        dense_opt_state=jax.device_put(state.dense_opt_state, rep),
+    )
+
+
+def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelConfig) -> TrainState:
+    """Gather shards to host and strip row padding (the role of
+    `ShardedTensor.gather` to rank 0 for checkpointing,
+    `03_model_training.py:474-495`)."""
+    def unpad(name, arr):
+        n = model_cfg.table(name).num_embeddings
+        return jax.device_get(arr)[:n]
+
+    return TrainState(
+        step=jax.device_get(state.step),
+        tables={k: unpad(k, v) for k, v in state.tables.items()},
+        adagrad_acc={k: unpad(k, v) for k, v in state.adagrad_acc.items()},
+        dense_params=jax.device_get(state.dense_params),
+        dense_opt_state=jax.device_get(state.dense_opt_state),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collectives
+
+
+def _local_partial_pool(table_shard, ids_all, w_all, didx):
+    """Partial pooled sum using only this device's rows."""
+    rows = table_shard.shape[0]
+    local = ids_all - didx * rows
+    ok = (local >= 0) & (local < rows) & (w_all != 0)
+    emb = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
+    emb = emb * jnp.where(ok, w_all, 0.0)[..., None].astype(emb.dtype)
+    return emb.sum(axis=1)  # [B_glob, D]
+
+
+def make_sharded_lookup(mesh):
+    """Weighted-sum pooled lookup over a row-sharded table."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(FLAT_AXES, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids, w):
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        part = _local_partial_pool(table_shard, ids_all, w_all, didx)
+        out = jax.lax.psum_scatter(part, DATA_AXIS, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return lookup
+
+
+def make_sharded_update(mesh, lr: float, eps: float):
+    """Fused row-wise Adagrad on a row-sharded table. `row_g` is the per-slot
+    gradient [B_loc, Lt, D] (already weight-scaled); each device applies only
+    the rows it owns, so every row is updated exactly once globally."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(FLAT_AXES, None), P(FLAT_AXES),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(FLAT_AXES, None), P(FLAT_AXES)),
+        check_vma=False,
+    )
+    def update(table_shard, acc_shard, ids, w, row_g):
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
+        rows = table_shard.shape[0]
+        local = ids_all - didx * rows
+        ok = (local >= 0) & (local < rows) & (w_all != 0)
+        flat_ids = jnp.where(ok, local, rows).astype(jnp.int32).reshape(-1)
+        flat_g = g_all.reshape(-1, g_all.shape[-1])
+        return opt_lib.sparse_rowwise_adagrad(table_shard, acc_shard, flat_ids, flat_g, lr, eps)
+
+    return update
+
+
+def make_replicated_update(mesh, lr: float, eps: float):
+    """DDP-style update for replicated tables: all_gather the batch grads over
+    data, run the identical sparse update on every device (deterministic, so
+    replicas stay bitwise in sync — no grad psum of a table-shaped buffer)."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def update(table, acc, ids, w, row_g):
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
+        n = table.shape[0]
+        flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
+        flat_g = g_all.reshape(-1, g_all.shape[-1])
+        return opt_lib.sparse_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
+
+    return update
+
+
+# ---------------------------------------------------------------------------
+# forward / train / eval step builders
+
+
+def _pool_weights(fc, feat):
+    """Effective per-slot weights: mask for sum pooling, mask/count for mean —
+    turns both poolings into weighted-sum so one kernel serves both."""
+    w = feat.mask
+    if fc.pooling == "mean":
+        counts = w.sum(axis=1, keepdims=True)
+        w = w / jnp.maximum(counts, 1.0)
+    return w
+
+
+def _local_weighted_pool(table, ids, w):
+    emb = jnp.take(table, ids, axis=0)
+    return (emb * w[..., None].astype(emb.dtype)).sum(axis=1)
+
+
+def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
+    lookup = make_sharded_lookup(mesh)
+
+    def pooled_embeddings(tables, batch: Batch):
+        pooled, weights = {}, {}
+        for fc in model_cfg.features:
+            feat = batch.features[fc.name]
+            w = _pool_weights(fc, feat)
+            weights[fc.name] = w
+            if plan[fc.table].strategy == ROW_SHARDED:
+                pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
+            else:
+                pooled[fc.name] = _local_weighted_pool(tables[fc.table], feat.ids, w)
+        return pooled, weights
+
+    def forward(state: TrainState, batch: Batch):
+        pooled, _ = pooled_embeddings(state.tables, batch)
+        return two_tower.towers_forward(
+            {**state.dense_params}, pooled, batch.dense, model_cfg
+        )
+
+    return forward, pooled_embeddings
+
+
+def make_sharded_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    dense_opt: optax.GradientTransformation,
+    mesh,
+    plan: ShardingPlan,
+    donate: bool = True,
+):
+    """Multi-chip train step: same two-stage backward as the single-device
+    step (`train/step.py`), with sharded lookup/update collectives. Dense
+    tower grads sync over the data axis automatically (replicated params,
+    data-sharded batch => XLA inserts the psum)."""
+    loss_fn = losses_lib.make_loss_fn(train_cfg.loss)
+    _, pooled_embeddings = make_sharded_forward(model_cfg, mesh, plan)
+    sharded_update = make_sharded_update(
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+    )
+    replicated_update = make_replicated_update(
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+    )
+
+    def step(state: TrainState, batch: Batch):
+        pooled, weights = pooled_embeddings(state.tables, batch)
+
+        def loss_of(dense_params, pooled):
+            q, c = two_tower.towers_forward(dense_params, pooled, batch.dense, model_cfg)
+            loss, logits = loss_fn(q, c, batch)
+            return loss, logits
+
+        (loss, logits), (d_dense, d_pooled) = jax.value_and_grad(
+            loss_of, argnums=(0, 1), has_aux=True
+        )(state.dense_params, pooled)
+
+        updates, new_opt_state = dense_opt.update(
+            d_dense, state.dense_opt_state, state.dense_params
+        )
+        new_dense = optax.apply_updates(state.dense_params, updates)
+
+        # Per-table flat (ids [B, Lt], w [B, Lt], row_g [B, Lt, D]) across the
+        # features reading that table — aggregation across features happens
+        # inside the fused update, matching the dense-autodiff oracle.
+        per_table: dict[str, list] = {}
+        for fc in model_cfg.features:
+            feat = batch.features[fc.name]
+            w = weights[fc.name]
+            row_g = d_pooled[fc.name][:, None, :] * w[..., None].astype(d_pooled[fc.name].dtype)
+            per_table.setdefault(fc.table, []).append((feat.ids, w, row_g))
+
+        new_tables = dict(state.tables)
+        new_acc = dict(state.adagrad_acc)
+        for tname, parts in per_table.items():
+            ids = jnp.concatenate([p[0] for p in parts], axis=1)
+            w = jnp.concatenate([p[1] for p in parts], axis=1)
+            row_g = jnp.concatenate([p[2] for p in parts], axis=1)
+            upd = (
+                sharded_update
+                if plan[tname].strategy == ROW_SHARDED
+                else replicated_update
+            )
+            new_tables[tname], new_acc[tname] = upd(
+                state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            tables=new_tables,
+            adagrad_acc=new_acc,
+            dense_params=new_dense,
+            dense_opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss, "logits": logits}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh, plan: ShardingPlan):
+    loss_fn = losses_lib.make_loss_fn("bce")
+    forward, _ = make_sharded_forward(model_cfg, mesh, plan)
+
+    @jax.jit
+    def step(state: TrainState, eval_state: EvalState, batch: Batch):
+        q, c = forward(state, batch)
+        loss, logits = loss_fn(q, c, batch)
+        n = jnp.float32(batch.labels.shape[0])
+        return EvalState(
+            auroc=auroc_update(eval_state.auroc, logits, batch.labels),
+            loss=mean_update(eval_state.loss, loss, n),
+        )
+
+    return step
