@@ -1,0 +1,146 @@
+"""Offline feature engineering, columnar/vectorized.
+
+The role of the reference's PySpark notebooks (`02_feature_engineering.py`):
+
+- positive pairs: distinct (user, product) from interactions, label=1 (`:25-31`)
+- random negative sampling: per user, `len(positives)` negatives drawn from
+  `all_products - user_positives`, label=0, unioned 1:1 (`:49-77`)
+- per-user split: every user's first row forced into train, remainder split
+  by per-user row percentile 80/10/10, with the "no user lacks train rows"
+  invariant asserted (`:89-144`)
+- id indexing: contiguous 1-based indices for user/product ids
+  (StringIndexer role, `:182-194`) — 0 stays reserved as the missing sentinel
+  that the featurizer drops.
+
+Implemented with numpy/pandas instead of Spark; outputs feed the TTRS shard
+writer (`data/shards.py`) the way the reference writes Delta + MDS (`:213-282`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def build_positive_pairs(
+    interactions: pd.DataFrame, user_col: str = "user_id", item_col: str = "product_id"
+) -> pd.DataFrame:
+    """Distinct (user, item) with label=1 (`02_feature_engineering.py:25-31`)."""
+    pos = interactions[[user_col, item_col]].drop_duplicates().reset_index(drop=True)
+    pos["label"] = np.int64(1)
+    return pos
+
+
+def sample_negatives(
+    positives: pd.DataFrame,
+    all_items: np.ndarray,
+    seed: int = 0,
+    user_col: str = "user_id",
+    item_col: str = "product_id",
+) -> pd.DataFrame:
+    """Per user, sample len(user_positives) items uniformly from the
+    complement of the user's positives (`generate_negatives`,
+    `02_feature_engineering.py:53-58`). Rejection-sampled vectorized."""
+    rng = np.random.default_rng(seed)
+    all_items = np.asarray(all_items)
+    pos_sets = positives.groupby(user_col)[item_col].apply(set)
+    users_out, items_out = [], []
+    for user, pos_set in pos_sets.items():
+        n = len(pos_set)
+        # rejection sampling with oversampling; guaranteed to terminate since
+        # |complement| >= 1 in any sane dataset
+        need = n
+        draws = []
+        while need > 0:
+            cand = rng.choice(all_items, size=max(2 * need, 8), replace=True)
+            cand = cand[~np.isin(cand, list(pos_set))]
+            cand = pd.unique(cand) if len(draws) == 0 else cand
+            take = cand[:need]
+            draws.append(take)
+            need -= len(take)
+        users_out.append(np.full(n, user))
+        items_out.append(np.concatenate(draws)[:n])
+    neg = pd.DataFrame(
+        {
+            user_col: np.concatenate(users_out),
+            item_col: np.concatenate(items_out),
+            "label": np.int64(0),
+        }
+    )
+    return neg
+
+
+def union_pos_neg(pos: pd.DataFrame, neg: pd.DataFrame) -> pd.DataFrame:
+    """1:1 union (`02_feature_engineering.py:74`)."""
+    return pd.concat([pos, neg], ignore_index=True)
+
+
+def per_user_split(
+    df: pd.DataFrame,
+    seed: int = 0,
+    fractions: tuple[float, float] = (0.8, 0.9),
+    user_col: str = "user_id",
+) -> pd.DataFrame:
+    """Assign 'train'/'val'/'test' per row: rows are shuffled per user, the
+    first row of every user is forced into train, the rest cut at the per-user
+    row-percent fractions (`02_feature_engineering.py:92-114`). Adds a
+    `split` column."""
+    rng = np.random.default_rng(seed)
+    df = df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    grp = df.groupby(user_col, sort=False)
+    row_idx = grp.cumcount().to_numpy()
+    counts = grp[user_col].transform("size").to_numpy()
+    pct = (row_idx + 1) / counts
+    split = np.where(pct <= fractions[0], "train", np.where(pct <= fractions[1], "val", "test"))
+    split = np.where(row_idx == 0, "train", split)  # every user trains
+    out = df.copy()
+    out["split"] = split
+    assert_user_coverage(out, user_col)
+    return out
+
+
+def assert_user_coverage(df: pd.DataFrame, user_col: str = "user_id") -> None:
+    """The reference's split invariant: no user may lack train rows
+    (`02_feature_engineering.py:136-144`)."""
+    users = set(df[user_col].unique())
+    train_users = set(df.loc[df["split"] == "train", user_col].unique())
+    missing = users - train_users
+    if missing:
+        raise AssertionError(
+            f"{len(missing)} users have no train rows (e.g. {sorted(missing)[:5]})"
+        )
+
+
+def index_ids(
+    df: pd.DataFrame, cols: tuple[str, ...] = ("user_id", "product_id")
+) -> tuple[pd.DataFrame, dict[str, dict]]:
+    """Contiguous 1-based indexing per column (StringIndexer role,
+    `02_feature_engineering.py:182-194`); index 0 is reserved for "missing"
+    (the featurizer's falsy-drop sentinel). Returns (df with `{col}_index`
+    columns, {col: {original -> index}})."""
+    mappings: dict[str, dict] = {}
+    out = df.copy()
+    for col in cols:
+        uniques = pd.unique(df[col])
+        mapping = {v: i + 1 for i, v in enumerate(uniques)}
+        mappings[col] = mapping
+        out[f"{col}_index"] = df[col].map(mapping).astype(np.int64)
+    return out, mappings
+
+
+def splits_to_columns(
+    df: pd.DataFrame,
+    user_col: str = "user_id_index",
+    item_col: str = "product_id_index",
+) -> dict[str, dict[str, np.ndarray]]:
+    """Per-split dict-of-columns ready for the TTRS shard writer (the role of
+    the per-split parquet/MDS writers, `02_feature_engineering.py:213-282`)."""
+    out = {}
+    for split in ("train", "val", "test"):
+        part = df[df["split"] == split]
+        out[split] = {
+            "user_id": part[user_col].to_numpy(np.int64),
+            "product_id": part[item_col].to_numpy(np.int64),
+            "label": part["label"].to_numpy(np.int64),
+        }
+    return out

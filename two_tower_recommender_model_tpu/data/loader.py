@@ -1,0 +1,181 @@
+"""Deterministic, resumable, multi-host streaming loader over TTRS shards.
+
+The role of `StreamingDataset`/`StreamingDataLoader`
+(`get_dataloader_with_mosaic`, `03_model_training.py:386-393`): per-host shard
+partitioning, seeded shuffling, batching — plus the two things the reference
+delegates to the Mosaic library and never exercises (SURVEY §5):
+
+- **determinism**: the visit order is a pure function of
+  (seed, epoch, host_index, num_hosts); every host sees a disjoint sample set.
+- **true resume**: `state_dict()` captures (epoch, batches_yielded);
+  `load_state_dict()` fast-forwards by skipping whole shards where possible,
+  so a restored run continues the exact same stream.
+
+A background thread prefetches the next shard while the current one is being
+sliced into batches (the host-side half of the reference's
+`TrainPipelineSparseDist` overlap).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+
+
+class StreamLoader:
+    def __init__(
+        self,
+        dataset: ShardedDataset | str,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        host_index: int = 0,
+        num_hosts: int = 1,
+        drop_last: bool = True,
+        prefetch_shards: int = 2,
+        columns: list[str] | None = None,
+    ):
+        self.dataset = ShardedDataset(dataset) if isinstance(dataset, str) else dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.host_index = host_index
+        self.num_hosts = num_hosts
+        self.drop_last = drop_last
+        self.prefetch_shards = prefetch_shards
+        self.columns = columns
+        self._epoch = 0
+        self._batches_yielded = 0  # within current epoch
+
+    # -- determinism ------------------------------------------------------
+
+    def _epoch_plan(self, epoch: int) -> list[int]:
+        """This host's shard visit order for an epoch."""
+        order = np.arange(self.dataset.num_shards)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(order)
+        # round-robin shard assignment => each sample belongs to exactly one host
+        return [int(s) for s in order[self.host_index :: self.num_hosts]]
+
+    def _row_perm(self, epoch: int, shard: int, n: int) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, shard]))
+        return rng.permutation(n)
+
+    def batches_per_epoch(self, epoch: int = 0) -> int:
+        rows = sum(self.dataset.shard_row_counts[s] for s in self._epoch_plan(epoch))
+        if self.drop_last:
+            return rows // self.batch_size
+        return -(-rows // self.batch_size)
+
+    # -- resume -----------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "epoch": self._epoch,
+            "batches_yielded": self._batches_yielded,
+            "seed": self.seed,
+            "host_index": self.host_index,
+            "num_hosts": self.num_hosts,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        if (state["seed"], state["host_index"], state["num_hosts"]) != (
+            self.seed, self.host_index, self.num_hosts,
+        ):
+            raise ValueError(
+                f"loader state {state} incompatible with loader "
+                f"(seed={self.seed}, host={self.host_index}/{self.num_hosts})"
+            )
+        self._epoch = state["epoch"]
+        self._batches_yielded = state["batches_yielded"]
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        self._batches_yielded = 0
+
+    # -- iteration --------------------------------------------------------
+
+    def _shard_reader(self, plan: list[int], out: queue.Queue, stop: threading.Event):
+        try:
+            for s in plan:
+                if stop.is_set():
+                    return
+                out.put((s, self.dataset.read_shard(s, self.columns)))
+        except BaseException as e:
+            out.put(e)
+        finally:
+            out.put(None)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        epoch = self._epoch
+        skip_batches = self._batches_yielded
+        plan = self._epoch_plan(epoch)
+
+        # Fast-forward for resume: a batch never crosses shards in reverse, so
+        # we can drop whole shards that were fully consumed.
+        skip_rows = skip_batches * self.batch_size
+        rows_before = 0
+        start_idx = 0
+        for i, s in enumerate(plan):
+            n = self.dataset.shard_row_counts[s]
+            if rows_before + n <= skip_rows:
+                rows_before += n
+                start_idx = i + 1
+            else:
+                break
+        within_shard_skip = skip_rows - rows_before
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_shards)
+        stop = threading.Event()
+        t = threading.Thread(
+            target=self._shard_reader, args=(plan[start_idx:], q, stop), daemon=True
+        )
+        t.start()
+
+        buf: dict[str, list[np.ndarray]] = {}
+        buf_rows = 0
+        first = True
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                s, cols = item
+                perm = self._row_perm(epoch, s, len(next(iter(cols.values()))))
+                if first and within_shard_skip:
+                    perm = perm[within_shard_skip:]
+                first = False
+                for k, v in cols.items():
+                    buf.setdefault(k, []).append(v[perm])
+                buf_rows += len(perm)
+                while buf_rows >= self.batch_size:
+                    batch, buf, buf_rows = _take(buf, buf_rows, self.batch_size)
+                    self._batches_yielded += 1
+                    yield batch
+            if buf_rows and not self.drop_last:
+                batch, buf, buf_rows = _take(buf, buf_rows, buf_rows)
+                self._batches_yielded += 1
+                yield batch
+        finally:
+            stop.set()
+        # epoch finished -> advance
+        self._epoch = epoch + 1
+        self._batches_yielded = 0
+
+
+def _take(buf: dict[str, list[np.ndarray]], buf_rows: int, n: int):
+    """Pop the first n rows from a column buffer."""
+    cols = {k: np.concatenate(v) if len(v) > 1 else v[0] for k, v in buf.items()}
+    batch = {k: v[:n] for k, v in cols.items()}
+    rest = {k: [v[n:]] for k, v in cols.items()}
+    return batch, rest, buf_rows - n

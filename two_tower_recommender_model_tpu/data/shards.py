@@ -1,0 +1,183 @@
+"""TTRS: a columnar shard format for streaming training data.
+
+The role of Mosaic MDS shards (`workshop/01-mosaic-streaming.py:175-192`,
+`dataframe_to_mds` with zstd compression, per-shard size limits and a merged
+index): a dataset directory holds `index.json` plus N shard files, each a
+self-describing binary blob of per-column contiguous arrays (optionally
+zlib-compressed per column).
+
+Layout of one shard file:
+
+    magic   b"TTRS1\\n"
+    u64     header length (little-endian)
+    header  JSON: {"rows": R, "columns": [{"name", "dtype", "shape",
+                                           "compressed", "stored_bytes"}]}
+    payload per-column bytes, in header order
+
+The payload is raw C-order little-endian array data — deliberately trivial to
+parse from C++ (the native reader in `native/`) and to mmap when uncompressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Iterator, Mapping, Sequence
+
+import numpy as np
+
+MAGIC = b"TTRS1\n"
+INDEX_NAME = "index.json"
+
+
+def write_shard(path: str, columns: Mapping[str, np.ndarray], compress: bool = True) -> int:
+    cols = {k: np.ascontiguousarray(v) for k, v in columns.items()}
+    rows = {len(v) for v in cols.values()}
+    if len(rows) != 1:
+        raise ValueError(f"ragged columns: {[(k, len(v)) for k, v in cols.items()]}")
+    (nrows,) = rows
+    header_cols = []
+    payloads = []
+    for name, arr in cols.items():
+        raw = arr.tobytes()
+        stored = zlib.compress(raw, 6) if compress else raw
+        if compress and len(stored) >= len(raw):
+            stored, comp = raw, False
+        else:
+            comp = compress
+        header_cols.append(
+            {
+                "name": name,
+                "dtype": arr.dtype.str,
+                "shape": list(arr.shape),
+                "compressed": comp,
+                "stored_bytes": len(stored),
+            }
+        )
+        payloads.append(stored)
+    header = json.dumps({"rows": nrows, "columns": header_cols}).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        for p in payloads:
+            f.write(p)
+    return nrows
+
+
+def read_shard(path: str, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path}: bad magic")
+        hlen = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(hlen))
+        out = {}
+        for col in header["columns"]:
+            stored = f.read(col["stored_bytes"])
+            if columns is not None and col["name"] not in columns:
+                continue
+            raw = zlib.decompress(stored) if col["compressed"] else stored
+            arr = np.frombuffer(raw, dtype=np.dtype(col["dtype"])).reshape(col["shape"])
+            out[col["name"]] = arr
+    return out
+
+
+def shard_rows(path: str) -> int:
+    with open(path, "rb") as f:
+        f.read(len(MAGIC))
+        hlen = int.from_bytes(f.read(8), "little")
+        return json.loads(f.read(hlen))["rows"]
+
+
+class ShardWriter:
+    """Stream rows into a shard directory with a row limit per shard (the
+    `size_limit` role of `dataframe_to_mds`), writing `index.json` on close."""
+
+    def __init__(self, out_dir: str, rows_per_shard: int = 1 << 18, compress: bool = True):
+        self.out_dir = out_dir
+        self.rows_per_shard = rows_per_shard
+        self.compress = compress
+        self._buf: dict[str, list[np.ndarray]] = {}
+        self._buf_rows = 0
+        self._shards: list[dict] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def write(self, columns: Mapping[str, np.ndarray]) -> None:
+        cols = {k: np.asarray(v) for k, v in columns.items()}
+        n = len(next(iter(cols.values())))
+        start = 0
+        while start < n:
+            take = min(self.rows_per_shard - self._buf_rows, n - start)
+            for k, v in cols.items():
+                self._buf.setdefault(k, []).append(v[start : start + take])
+            self._buf_rows += take
+            start += take
+            if self._buf_rows >= self.rows_per_shard:
+                self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf_rows:
+            return
+        name = f"shard_{len(self._shards):06d}.ttrs"
+        cols = {k: np.concatenate(v) for k, v in self._buf.items()}
+        rows = write_shard(os.path.join(self.out_dir, name), cols, self.compress)
+        self._shards.append({"file": name, "rows": rows})
+        self._buf, self._buf_rows = {}, 0
+
+    def close(self) -> dict:
+        self._flush()
+        index = {
+            "format": "ttrs",
+            "version": 1,
+            "total_rows": sum(s["rows"] for s in self._shards),
+            "shards": self._shards,
+        }
+        with open(os.path.join(self.out_dir, INDEX_NAME), "w") as f:
+            json.dump(index, f, indent=1)
+        return index
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_dataset(
+    out_dir: str,
+    batches: Iterator[Mapping[str, np.ndarray]] | Mapping[str, np.ndarray],
+    rows_per_shard: int = 1 << 18,
+    compress: bool = True,
+) -> dict:
+    """Write a full dataset dir from one dict-of-columns or an iterator of them."""
+    if isinstance(batches, Mapping):
+        batches = [batches]
+    with ShardWriter(out_dir, rows_per_shard, compress) as w:
+        for b in batches:
+            w.write(b)
+    return w.close()
+
+
+class ShardedDataset:
+    """A TTRS dataset directory: index + lazy shard reads."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, INDEX_NAME)) as f:
+            self.index = json.load(f)
+        if self.index.get("format") != "ttrs":
+            raise ValueError(f"{path}: not a ttrs dataset")
+        self.shard_files = [s["file"] for s in self.index["shards"]]
+        self.shard_row_counts = [s["rows"] for s in self.index["shards"]]
+
+    @property
+    def total_rows(self) -> int:
+        return self.index["total_rows"]
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shard_files)
+
+    def read_shard(self, i: int, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
+        return read_shard(os.path.join(self.path, self.shard_files[i]), columns)

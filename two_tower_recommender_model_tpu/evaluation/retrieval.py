@@ -1,0 +1,144 @@
+"""Full-corpus embedding export + exact top-k retrieval evaluation.
+
+Replaces the reference's offline serving/eval chain
+(`03_model_training.py:1056-1240` + `04_evaluate_retrieval.py`):
+
+- reference: enumerate all ids through a one-hot-keyed KJT
+  (`create_keyed_jagged_tensor`, `:1056-1093`), push pooled embeddings through
+  the side's projection (`process_embeddings`, `:1095-1122`), write to Delta,
+  sync a Vector Search ANN index (`:1189-1211`), then per-user
+  `similarity_search(k=100)` over 10k users and
+  `mlflow.evaluate(model_type="retriever")` (`04_evaluate_retrieval.py:131-226`).
+- here: the corpus embedding and the k-NN search are one chunked MXU matmul
+  with a running top-k merge (`ops/topk.py`) — exact, on-device, no service.
+
+Metrics: recall@k (the reference's headline `recall_at_100/score`),
+precision@k, NDCG@k, MRR, hit-rate — computed per user then averaged, same
+protocol as `mlflow.evaluate(model_type="retriever", retriever_k=k)`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu.config import ModelConfig
+from two_tower_recommender_model_tpu.models.mlp import apply_mlp
+from two_tower_recommender_model_tpu.ops.topk import chunked_topk
+
+
+def _tower_for_feature(model_cfg: ModelConfig, feature_name: str):
+    for key, tower in (("query_tower", model_cfg.query_tower),
+                       ("candidate_tower", model_cfg.candidate_tower)):
+        if feature_name in tower.features:
+            return key, tower
+    raise ValueError(f"feature {feature_name!r} feeds no tower")
+
+
+def export_feature_embeddings(
+    params: dict,
+    model_cfg: ModelConfig,
+    feature_name: str,
+    ids: np.ndarray | None = None,
+    batch_size: int = 8192,
+) -> np.ndarray:
+    """Tower-space embeddings for every id of one feature, all other features
+    of that tower pooled to zero (exactly the reference's 0-length-bag trick
+    for the non-target key, `03_model_training.py:1068-1093`)."""
+    tower_key, tower = _tower_for_feature(model_cfg, feature_name)
+    fc = model_cfg.feature(feature_name)
+    table_cfg = model_cfg.table(fc.table)
+    table = jnp.asarray(params["tables"][fc.table])
+    if ids is None:
+        ids = np.arange(table_cfg.num_embeddings)
+    ids = np.asarray(ids)
+
+    dims = {f: model_cfg.feature_table(f).embedding_dim for f in tower.features}
+    compute_dtype = jnp.dtype(model_cfg.compute_dtype)
+
+    @jax.jit
+    def run_chunk(chunk_ids):
+        rows = jnp.take(table, chunk_ids, axis=0)
+        xs = []
+        for f in tower.features:
+            if f == feature_name:
+                xs.append(rows)
+            else:
+                xs.append(jnp.zeros((rows.shape[0], dims[f]), rows.dtype))
+        if tower.dense_dim:
+            xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype))
+        x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
+        return apply_mlp(params[tower_key], x, tower.activation,
+                         tower.final_activation, compute_dtype)
+
+    bs = min(batch_size, len(ids))
+    out = []
+    for start in range(0, len(ids), bs):
+        chunk = ids[start : start + bs]
+        pad = bs - len(chunk)  # pad the tail chunk so one jit compile serves all
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+        emb = np.asarray(run_chunk(jnp.asarray(chunk)))
+        out.append(emb[: bs - pad])
+    return np.concatenate(out, axis=0)
+
+
+def retrieval_metrics(
+    pred_ids: np.ndarray,  # [U, k] retrieved ids, best first
+    targets: list,  # per-user iterable of relevant ids
+    ks: tuple[int, ...] = (10, 100),
+) -> dict[str, float]:
+    """Per-user metrics averaged over users (the `mlflow.evaluate` retriever
+    metric set, `04_evaluate_retrieval.py:202-226`)."""
+    pred_ids = np.asarray(pred_ids)
+    max_k = pred_ids.shape[1]
+    out: dict[str, list[float]] = {}
+    for k in ks:
+        if k > max_k:
+            raise ValueError(f"k={k} > retrieved {max_k}")
+    for preds, tgt in zip(pred_ids, targets):
+        tgt = set(int(t) for t in tgt)
+        if not tgt:
+            continue
+        hits = np.array([1.0 if int(p) in tgt else 0.0 for p in preds])
+        first_hit = np.argmax(hits) if hits.any() else None
+        out.setdefault("mrr", []).append(0.0 if first_hit is None else 1.0 / (first_hit + 1))
+        for k in ks:
+            h = hits[:k]
+            rel = h.sum()
+            out.setdefault(f"recall_at_{k}", []).append(rel / min(len(tgt), k))
+            out.setdefault(f"precision_at_{k}", []).append(rel / k)
+            out.setdefault(f"hit_rate_at_{k}", []).append(1.0 if rel > 0 else 0.0)
+            dcg = (h / np.log2(np.arange(2, k + 2))).sum()
+            ideal = (1.0 / np.log2(np.arange(2, min(len(tgt), k) + 2))).sum()
+            out.setdefault(f"ndcg_at_{k}", []).append(dcg / ideal if ideal > 0 else 0.0)
+    return {name: float(np.mean(vals)) for name, vals in out.items()}
+
+
+def evaluate_retrieval(
+    params: dict,
+    model_cfg: ModelConfig,
+    user_positives: dict[int, list],  # user id -> held-out relevant item ids
+    query_feature: str = "user_id",
+    candidate_feature: str = "product_id",
+    k: int = 100,
+    max_users: int = 10_000,
+    ks: tuple[int, ...] = (10, 100),
+    exclude_item_zero: bool = True,
+) -> dict[str, float]:
+    """The full `04_evaluate_retrieval.py` protocol: held-out positives per
+    user (`:42-58`), top-k search per user (k=100 over <=10k users, `:131-141`),
+    averaged retriever metrics (`:202-226`)."""
+    users = np.array(sorted(user_positives.keys())[:max_users])
+    user_emb = export_feature_embeddings(params, model_cfg, query_feature, ids=users)
+    item_emb = export_feature_embeddings(params, model_cfg, candidate_feature)
+    start = 1 if exclude_item_zero else 0  # id 0 = missing sentinel
+    corpus = jnp.asarray(item_emb[start:])
+    _, idx = chunked_topk(jnp.asarray(user_emb), corpus, k=k)
+    pred_ids = np.asarray(idx) + start
+    metrics = retrieval_metrics(pred_ids, [user_positives[u] for u in users], ks=ks)
+    metrics["num_users"] = float(len(users))
+    return metrics
