@@ -160,9 +160,14 @@ def write_dataset(
 
 
 class ShardedDataset:
-    """A TTRS dataset directory: index + lazy shard reads."""
+    """A TTRS dataset directory: index + lazy shard reads.
 
-    def __init__(self, path: str):
+    Reads go through the native C++ reader (`native/ttrs_reader.cpp`,
+    parallel zlib inflate — the mosaicml-streaming C-extension role) when it
+    builds on this machine; `use_native=False` forces the pure-Python path.
+    """
+
+    def __init__(self, path: str, use_native: bool | None = None):
         self.path = path
         with open(os.path.join(path, INDEX_NAME)) as f:
             self.index = json.load(f)
@@ -170,6 +175,11 @@ class ShardedDataset:
             raise ValueError(f"{path}: not a ttrs dataset")
         self.shard_files = [s["file"] for s in self.index["shards"]]
         self.shard_row_counts = [s["rows"] for s in self.index["shards"]]
+        if use_native is None:
+            from two_tower_recommender_model_tpu.native.ttrs import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
 
     @property
     def total_rows(self) -> int:
@@ -180,4 +190,9 @@ class ShardedDataset:
         return len(self.shard_files)
 
     def read_shard(self, i: int, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
-        return read_shard(os.path.join(self.path, self.shard_files[i]), columns)
+        path = os.path.join(self.path, self.shard_files[i])
+        if self.use_native:
+            from two_tower_recommender_model_tpu.native.ttrs import native_read_shard
+
+            return native_read_shard(path, list(columns) if columns is not None else None)
+        return read_shard(path, columns)
