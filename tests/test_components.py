@@ -1,0 +1,181 @@
+"""Concat-MLP ranker, LR schedules, parquet path, text features, profiling,
+launch helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+import pytest
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.data.parquet import parquet_batches, write_parquet_dataset
+from two_tower_recommender_model_tpu.data.text_features import (
+    build_product_text_features,
+    concat_text_fields,
+    cosine_similarity,
+    embed_text,
+)
+from two_tower_recommender_model_tpu.models.concat_mlp import init_ranker_params, ranker_forward
+from two_tower_recommender_model_tpu.models.losses import bce_with_logits
+from two_tower_recommender_model_tpu.parallel.launch import (
+    TrainingMethod,
+    devices_for,
+    global_batch_slice,
+    host_info,
+    per_host_loader_slice,
+)
+from two_tower_recommender_model_tpu.train.optimizer import dense_optimizer
+from two_tower_recommender_model_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+@pytest.fixture
+def mcfg():
+    return cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8)
+
+
+def _batch(mcfg, rng, n=16):
+    f = Featurizer(mcfg)
+    return jax.tree.map(jnp.asarray, f({
+        "user_id": rng.integers(1, 50, n), "product_id": rng.integers(1, 30, n),
+        "label": rng.integers(0, 2, n)}))
+
+
+# -- concat-MLP ranker (Composer model family) -------------------------------
+
+def test_ranker_forward_shapes_and_trains(mcfg, rng):
+    params = init_ranker_params(jax.random.key(0), mcfg, hidden_sizes=(32, 16))
+    batch = _batch(mcfg, rng)
+    logits = ranker_forward(params, batch, mcfg)
+    assert logits.shape == (16,)
+
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(params, ost, batch):
+        def lf(p):
+            return bce_with_logits(ranker_forward(p, batch, mcfg), batch.labels)
+        loss, g = jax.value_and_grad(lf)(params)
+        upd, ost2 = opt.update(g, ost, params)
+        return optax.apply_updates(params, upd), ost2, loss
+
+    l0 = None
+    ds = SyntheticClickstream(50, 30, seed=0)
+    f = Featurizer(mcfg)
+    for i, cols in enumerate(ds.batches(128, 40)):
+        params, ost, loss = step(params, ost, jax.tree.map(jnp.asarray, f(cols)))
+        if i == 0:
+            l0 = float(loss)
+    assert float(loss) < l0
+
+
+def test_ranker_dropout_deterministic_given_rng(mcfg, rng):
+    params = init_ranker_params(jax.random.key(0), mcfg)
+    batch = _batch(mcfg, rng)
+    k = jax.random.key(42)
+    a = ranker_forward(params, batch, mcfg, dropout_rate=0.5, dropout_rng=k)
+    b = ranker_forward(params, batch, mcfg, dropout_rate=0.5, dropout_rng=k)
+    np.testing.assert_array_equal(a, b)
+    c = ranker_forward(params, batch, mcfg, dropout_rate=0.5, dropout_rng=jax.random.key(7))
+    assert not np.allclose(a, c)
+
+
+# -- LR schedules ------------------------------------------------------------
+
+@pytest.mark.parametrize("schedule", ["constant", "linear", "cosine"])
+def test_dense_optimizer_schedules(schedule):
+    opt = dense_optimizer(1e-3, schedule=schedule, total_steps=100, warmup_steps=10)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(4)}
+    for _ in range(3):
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+    assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_schedule_requires_total_steps():
+    with pytest.raises(ValueError, match="total_steps"):
+        dense_optimizer(1e-3, schedule="linear")
+
+
+def test_weight_decay_adamw():
+    opt = dense_optimizer(1e-3, weight_decay=0.01)
+    assert opt is not None
+
+
+# -- parquet path ------------------------------------------------------------
+
+def test_parquet_roundtrip_batches(tmp_path, rng):
+    cols = {"user_id": rng.integers(1, 100, 1000), "product_id": rng.integers(1, 50, 1000),
+            "label": rng.integers(0, 2, 1000)}
+    files = write_parquet_dataset(str(tmp_path / "pq"), cols, rows_per_file=300)
+    assert len(files) == 4
+    got = list(parquet_batches(str(tmp_path / "pq"), 256))
+    total = np.concatenate([b["user_id"] for b in got])
+    np.testing.assert_array_equal(total, cols["user_id"])
+    assert got[0]["user_id"].dtype == np.int64
+
+
+def test_parquet_preprocess_hook(tmp_path, rng):
+    cols = {"user_id": rng.integers(1, 100, 100), "label": rng.integers(0, 2, 100)}
+    write_parquet_dataset(str(tmp_path / "pq"), cols)
+    got = list(parquet_batches(str(tmp_path / "pq"), 64,
+                               preprocess=lambda c: {**c, "user_id": c["user_id"] * 2}))
+    np.testing.assert_array_equal(np.concatenate([b["user_id"] for b in got]),
+                                  cols["user_id"] * 2)
+
+
+# -- text features -----------------------------------------------------------
+
+def test_text_embedding_properties():
+    texts = ["organic banana produce", "organic strawberry produce", "frozen pizza snacks"]
+    emb = embed_text(texts, dim=128)
+    assert emb.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+    sims = emb @ emb.T
+    assert sims[0, 1] > sims[0, 2]  # banana~strawberry > banana~pizza
+    # deterministic
+    np.testing.assert_array_equal(emb, embed_text(texts, dim=128))
+
+
+def test_cosine_similarity_and_concat():
+    assert concat_text_fields("a", "", "b") == "a b"
+    a = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+    b = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    np.testing.assert_allclose(cosine_similarity(a, b), [1.0, 0.0, 0.0])
+
+
+def test_product_feature_table():
+    df = pd.DataFrame({"product_id": [1, 2], "department": ["produce", "snacks"],
+                       "aisle": ["fresh", "chips"], "product_name": ["banana", "crisps"]})
+    table, emb = build_product_text_features(df, dim=64)
+    assert list(table["product_id"]) == [1, 2]
+    assert emb.shape == (2, 64)
+
+
+# -- profiling + launch helpers ---------------------------------------------
+
+def test_step_timer():
+    t = StepTimer(window=10)
+    for _ in range(5):
+        t.update(128)
+    s = t.summary()
+    assert s["total_examples"] == 640
+    assert s["examples_per_sec"] > 0
+
+
+def test_device_memory_stats():
+    stats = device_memory_stats()
+    assert len(stats) == 8
+
+
+def test_launch_helpers():
+    assert len(devices_for(TrainingMethod.SINGLE_CHIP)) == 1
+    assert len(devices_for(TrainingMethod.SINGLE_HOST)) == 8
+    info = host_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
+    assert per_host_loader_slice() == (0, 1)
+    assert global_batch_slice(1024) == 1024

@@ -1,0 +1,86 @@
+"""Item text features: deterministic text embeddings + similarity utilities.
+
+The role of `02a_create_product_features.py`: the reference concatenates
+department/aisle/product-name text (`:30-41`), embeds it with a hosted LLM
+endpoint (`ai_query("databricks-gte-large-en")`, `:46-56`), computes cosine
+similarities via a pandas UDF (`:67-91`) and publishes a feature table
+(`:96-121`).
+
+This build is offline/zero-egress, so the embedder is a *feature-hashing
+n-gram encoder*: token and character-n-gram hashes scatter into a fixed-dim
+vector (signed hashing-trick), L2-normalized. Deterministic, dependency-free,
+and a drop-in slot for any pretrained encoder's vectors — the downstream
+surface (cosine similarity, feature table, dense tower side-features) is
+encoder-agnostic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def concat_text_fields(*fields: str, sep: str = " ") -> str:
+    """`concat(department, aisle, product_name)` (`02a:30-41`)."""
+    return sep.join(str(f) for f in fields if f)
+
+
+def _stable_hash(token: str, salt: int) -> int:
+    h = hashlib.blake2b(f"{salt}:{token}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little")
+
+
+def embed_text(
+    texts: list[str],
+    dim: int = 256,
+    char_ngrams: tuple[int, ...] = (3, 4),
+    lowercase: bool = True,
+) -> np.ndarray:
+    """[len(texts), dim] L2-normalized hashed n-gram embeddings."""
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, text in enumerate(texts):
+        if lowercase:
+            text = str(text).lower()
+        tokens = list(text.split())
+        for n in char_ngrams:
+            padded = f" {text} "
+            tokens.extend(padded[j : j + n] for j in range(len(padded) - n + 1))
+        for tok in tokens:
+            h = _stable_hash(tok, 0)
+            idx = h % dim
+            sign = 1.0 if (h >> 32) & 1 else -1.0
+            out[i, idx] += sign
+        norm = np.linalg.norm(out[i])
+        if norm > 0:
+            out[i] /= norm
+    return out
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine similarity (the pandas-UDF role, `02a:67-91`)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return np.where(den > 0, num / den, 0.0)
+
+
+def build_product_text_features(
+    products,  # pd.DataFrame with product_id + text columns
+    text_cols: tuple[str, ...] = ("department", "aisle", "product_name"),
+    id_col: str = "product_id",
+    dim: int = 256,
+):
+    """Product feature table: id -> text embedding (the Feature Store write,
+    `02a:96-121`). Returns a DataFrame with `{id_col}` and `text_emb` list
+    column plus the raw [N, dim] matrix aligned to row order."""
+    import pandas as pd
+
+    texts = [
+        concat_text_fields(*(row[c] for c in text_cols))
+        for _, row in products.iterrows()
+    ]
+    emb = embed_text(texts, dim=dim)
+    table = pd.DataFrame({id_col: products[id_col].to_numpy(), "text_emb": list(emb)})
+    return table, emb

@@ -98,6 +98,40 @@ def dense_rowwise_adagrad(
     return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
 
 
-def dense_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """Adam for the dense towers (`03_model_training.py:826-829`)."""
-    return optax.adam(learning_rate)
+def dense_optimizer(
+    learning_rate: float,
+    schedule: str = "constant",
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    end_factor: float = 0.0,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam for the dense towers (`03_model_training.py:826-829`), with the
+    Composer stack's LR-schedule options (`DecoupledAdamW` + `LinearLR`,
+    `pytorch-model-training.py:563-575`):
+
+    - "constant": plain Adam (reference default)
+    - "linear": linear decay from lr to lr*end_factor over total_steps
+    - "cosine": cosine decay (TPU-common), optional warmup
+    """
+    if schedule == "constant":
+        lr = optax.constant_schedule(learning_rate) if warmup_steps else learning_rate
+    elif schedule == "linear":
+        if total_steps is None:
+            raise ValueError("linear schedule requires total_steps")
+        lr = optax.linear_schedule(learning_rate, learning_rate * end_factor,
+                                   total_steps - warmup_steps)
+    elif schedule == "cosine":
+        if total_steps is None:
+            raise ValueError("cosine schedule requires total_steps")
+        lr = optax.cosine_decay_schedule(learning_rate, total_steps - warmup_steps,
+                                         alpha=end_factor)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if warmup_steps:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps), lr], [warmup_steps]
+        )
+    if weight_decay:
+        return optax.adamw(lr, weight_decay=weight_decay)  # DecoupledAdamW role
+    return optax.adam(lr)
