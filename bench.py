@@ -25,23 +25,29 @@ def main() -> None:
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
-    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedFeaturizer,
+        make_packed_train_step,
+    )
     from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
     from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 16384))
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 65536))
     warmup_steps = 10
-    measure_steps = int(os.environ.get("BENCH_STEPS", 60))
+    measure_steps = int(os.environ.get("BENCH_STEPS", 200))
 
     mcfg = cfg_lib.two_tower_model_config(
         num_users=206_209, num_items=49_688, embedding_dim=128, layer_sizes=(128, 64)
     )
     tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
     ds = SyntheticClickstream(num_users=206_209, num_items=49_688, seed=0)
-    featurizer = Featurizer(mcfg)
+    featurizer = PackedFeaturizer(mcfg)  # hashing/masking fuse into the step on-device
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
-    train_step = make_train_step(mcfg, tcfg, dense_opt)
+    train_step = make_packed_train_step(
+        make_train_step(mcfg, tcfg, dense_opt, donate=False), mcfg
+    )
 
     # Pre-generate host column batches; cycle them so the measurement covers
     # featurization + H2D + step dispatch at steady state.
@@ -50,7 +56,7 @@ def main() -> None:
 
     n = 0
     t0 = None
-    for batch in prefetch_to_device(stream, featurizer, prefetch=2):
+    for batch in prefetch_to_device(stream, featurizer, prefetch=4):
         state, out = train_step(state, batch)
         n += 1
         if n == warmup_steps:

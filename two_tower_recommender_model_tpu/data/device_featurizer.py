@@ -1,0 +1,130 @@
+"""Device-side featurization: host packs raw ids, the TPU does the rest.
+
+The reference's batch transform runs per-element Python on the host and is its
+known CPU bottleneck (`transform_to_torchrec_batch`, `03_model_training.py:
+353-380`; SURVEY §3.1). The numpy `Featurizer` already vectorizes it; this
+module removes the host from the picture almost entirely:
+
+- host side (`PackedFeaturizer`): stack the raw id columns into ONE int32
+  array `[B, total_slots]` (+ labels, + optional dense) — a memcpy, one
+  device transfer;
+- device side (`unpack_batch`): hashing (`id % num_embeddings`), the
+  falsy-id drop mask, and dtype casts trace into the same jit program as the
+  train step, where they fuse to ~zero cost on the VPU.
+
+`make_packed_train_step` / `make_packed_eval_step` wrap the standard steps
+with the unpack. Same numerics as the host featurizer (tested equal).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu.config import ModelConfig
+from two_tower_recommender_model_tpu.data.featurizer import Batch, SparseFeature
+
+
+@flax.struct.dataclass
+class PackedBatch:
+    """Transfer-optimal batch: one id tensor, one label tensor."""
+
+    ids_raw: jax.Array  # [B, total_slots] int32 raw (unhashed) ids
+    labels: jax.Array  # [B] int32
+    dense: jax.Array | None = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.labels.shape[0]
+
+
+class PackedFeaturizer:
+    """Host half: dict-of-columns -> PackedBatch (no hashing, no masks)."""
+
+    def __init__(self, model_cfg: ModelConfig, dense_cols: tuple[str, ...] = (),
+                 label_col: str = "label"):
+        self.config = model_cfg
+        self.dense_cols = tuple(dense_cols)
+        self.label_col = label_col
+        self.slots: list[tuple[str, int, int]] = [
+            (fc.name, fc.max_ids_per_sample, model_cfg.feature_table(fc.name).num_embeddings)
+            for fc in model_cfg.features
+        ]
+        self.total_slots = sum(s for _, s, _ in self.slots)
+
+    @staticmethod
+    def _fit_int32(col: np.ndarray, num_embeddings: int) -> np.ndarray:
+        """Raw ids beyond int32 are pre-hashed on host into an int32 value
+        that preserves both semantics the device recomputes: the modulo hash
+        (`v % N == raw % N`) and the missing-id mask (`v == 0  <=>  raw == 0`,
+        using N itself — which hashes to 0 — as the nonzero stand-in)."""
+        if col.dtype.itemsize <= 4 or not col.size or col.max(initial=0) <= np.iinfo(np.int32).max:
+            return col
+        v = col % num_embeddings
+        return np.where((col != 0) & (v == 0), num_embeddings, v)
+
+    def __call__(self, columns: Mapping[str, np.ndarray]) -> PackedBatch:
+        first = np.asarray(columns[self.label_col])
+        b = len(first)
+        ids = np.zeros((b, self.total_slots), np.int32)
+        off = 0
+        for name, L, num_embeddings in self.slots:
+            col = self._fit_int32(np.asarray(columns[name]), num_embeddings)
+            if col.ndim == 1:
+                ids[:, off] = col
+            else:
+                take = min(col.shape[1], L)
+                ids[:, off : off + take] = col[:, :take]
+            off += L
+        dense = None
+        if self.dense_cols:
+            dense = np.stack(
+                [np.asarray(columns[c]).astype(np.float32) for c in self.dense_cols], axis=1
+            )
+        return PackedBatch(
+            ids_raw=ids, labels=first.astype(np.int32), dense=dense
+        )
+
+
+def unpack_batch(packed: PackedBatch, model_cfg: ModelConfig,
+                 drop_zero_ids: bool = True) -> Batch:
+    """Device half (jit-traceable): slices + hash + mask, fusing into the
+    consumer program."""
+    feats: dict[str, SparseFeature] = {}
+    off = 0
+    for fc in model_cfg.features:
+        L = fc.max_ids_per_sample
+        raw = jax.lax.slice_in_dim(packed.ids_raw, off, off + L, axis=1)
+        table = model_cfg.table(fc.table)
+        hashed = (raw % table.num_embeddings).astype(jnp.int32)
+        if drop_zero_ids:
+            mask = (raw != 0).astype(jnp.float32)
+            hashed = jnp.where(raw != 0, hashed, 0)
+        else:
+            mask = jnp.ones(raw.shape, jnp.float32)
+        feats[fc.name] = SparseFeature(ids=hashed, mask=mask)
+        off += L
+    return Batch(features=feats, labels=packed.labels, dense=packed.dense)
+
+
+def make_packed_train_step(train_step, model_cfg: ModelConfig, drop_zero_ids: bool = True):
+    """Wrap a (state, Batch) train step to take PackedBatch."""
+    import functools
+
+    @functools.wraps(train_step)
+    def step(state, packed: PackedBatch):
+        return train_step(state, unpack_batch(packed, model_cfg, drop_zero_ids))
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_packed_eval_step(eval_step, model_cfg: ModelConfig, drop_zero_ids: bool = True):
+    @jax.jit
+    def step(state, eval_state, packed: PackedBatch):
+        return eval_step(state, eval_state, unpack_batch(packed, model_cfg, drop_zero_ids))
+
+    return step
