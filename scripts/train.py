@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""CLI training entry point — the role of the reference's per-rank `main(args)`
+(`03_model_training.py:704-843`) plus its launcher ladder (`:865-990`).
+
+Examples:
+  # single chip/host on TTRS shard dirs produced by scripts/prepare_instacart.py
+  python scripts/train.py --data-dir out/instacart --num-users 206209 --num-items 49688
+
+  # multi-host (run once per host):
+  JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=2 JAX_PROCESS_ID=$RANK \
+  python scripts/train.py --data-dir ... --multi-host
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True, help="dir with train/ val/ test/ TTRS datasets")
+    ap.add_argument("--num-users", type=int, required=True)
+    ap.add_argument("--num-items", type=int, required=True)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--embedding-dim", type=int, default=128)
+    ap.add_argument("--layer-sizes", type=int, nargs="+", default=[128, 64])
+    ap.add_argument("--learning-rate", type=float, default=1e-3)
+    ap.add_argument("--sparse-learning-rate", type=float, default=1e-2)
+    ap.add_argument("--loss", choices=["bce", "sampled_softmax"], default="bce")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--validation-freq", type=int, default=None)
+    ap.add_argument("--limit-train-batches", type=int, default=None)
+    ap.add_argument("--limit-val-batches", type=int, default=None)
+    ap.add_argument("--limit-test-batches", type=int, default=None)
+    ap.add_argument("--runs-root", default="runs")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--multi-host", action="store_true")
+    ap.add_argument("--mesh-model", type=int, default=1, help="model axis size")
+    ap.add_argument("--no-shard", action="store_true", help="force replicated tables")
+    ap.add_argument("--export-dir", default=None, help="export saved model here at the end")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+
+    if args.multi_host:
+        from two_tower_recommender_model_tpu.parallel.launch import initialize_multi_host
+
+        initialize_multi_host()
+
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+    from two_tower_recommender_model_tpu.parallel import (
+        batch_sharding, make_mesh, make_sharded_eval_step, make_sharded_train_step,
+        plan_sharding, shard_train_state,
+    )
+    from two_tower_recommender_model_tpu.parallel.launch import per_host_loader_slice
+    from two_tower_recommender_model_tpu.train.loop import train_val_test
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state, make_eval_step, make_train_step,
+    )
+    from two_tower_recommender_model_tpu.utils.checkpoint import Checkpointer, export_model
+    from two_tower_recommender_model_tpu.utils.tracking import ExperimentLogger
+
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=args.num_users, num_items=args.num_items,
+        embedding_dim=args.embedding_dim, layer_sizes=tuple(args.layer_sizes),
+    )
+    tcfg = cfg_lib.TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
+        loss=args.loss, seed=args.seed, validation_freq=args.validation_freq,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        limit_test_batches=args.limit_test_batches,
+    )
+    featurizer = Featurizer(mcfg)
+    host_index, num_hosts = per_host_loader_slice()
+    n_devices = len(jax.devices())
+
+    state, dense_opt = create_train_state(jax.random.key(args.seed), mcfg, tcfg)
+    sharding = None
+    sharded = n_devices > 1 and not args.no_shard
+    if sharded and args.batch_size % n_devices:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by {n_devices} devices"
+        )
+    if sharded:
+        mesh = make_mesh(model=args.mesh_model)
+        hbm = None
+        try:
+            hbm = (jax.devices()[0].memory_stats() or {}).get("bytes_limit")
+        except Exception:
+            pass
+        plan = plan_sharding(mcfg, n_devices, hbm_budget_bytes=hbm)
+        if tcfg.print_sharding_plan and jax.process_index() == 0:
+            print(plan.describe())
+        state = shard_train_state(state, plan, mesh)
+        train_step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan)
+        eval_step = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
+        bs = batch_sharding(mesh)
+        sharding = bs
+    else:
+        train_step = make_train_step(mcfg, tcfg, dense_opt)
+        eval_step = make_eval_step(mcfg, tcfg)
+
+    logger = ExperimentLogger(args.runs_root) if jax.process_index() == 0 else None
+    if logger:
+        logger.log_params({
+            "num_users": args.num_users, "num_items": args.num_items,
+            "embedding_dim": args.embedding_dim, "layer_sizes": args.layer_sizes,
+            "batch_size": args.batch_size, "loss": args.loss,
+            "devices": n_devices, "hosts": num_hosts,
+        })
+
+    ckpt = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+    train_loader = StreamLoader(
+        os.path.join(args.data_dir, "train"), args.batch_size, seed=args.seed,
+        host_index=host_index, num_hosts=num_hosts,
+    )
+    if args.resume and ckpt is not None and ckpt.latest_step() is not None:
+        state, loader_state, _ = ckpt.restore(state)
+        if loader_state:
+            train_loader.load_state_dict(loader_state)
+        print(f"resumed from step {int(state.step)}")
+
+    def train_factory(epoch):
+        train_loader.set_epoch(epoch)
+        return train_loader
+
+    def eval_factory(split):
+        # sharded eval needs device-divisible batches; drop the ragged tail
+        # (DistributedSampler-style) — single-device eval keeps every sample
+        return lambda: StreamLoader(
+            os.path.join(args.data_dir, split), args.batch_size, shuffle=False,
+            drop_last=sharded, host_index=host_index, num_hosts=num_hosts,
+        )
+
+    def checkpoint_fn(s, epoch):
+        if ckpt is not None:
+            ckpt.save(int(s.step), s, loader_state=train_loader.state_dict(), wait=True)
+
+    state, results = train_val_test(
+        state, train_step, eval_step, mcfg, tcfg, featurizer,
+        train_batches_factory=train_factory,
+        val_batches_factory=eval_factory("val"),
+        test_batches_factory=eval_factory("test"),
+        logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
+    )
+    print({k: round(v, 5) for k, v in results.items()})
+
+    if args.export_dir and jax.process_index() == 0:
+        from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+
+        export_state = state
+        if n_devices > 1 and not args.no_shard:
+            export_state = unshard_train_state(state, plan, mcfg)
+        export_model(args.export_dir, mcfg, export_state)
+        print(f"exported model to {args.export_dir}")
+    if ckpt is not None:
+        ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

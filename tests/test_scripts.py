@@ -1,0 +1,97 @@
+"""CLI scripts end-to-end: prepare (CSV -> shards) then train (sharded path,
+checkpoints, export) as a subprocess — the full user journey."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    """Tiny instacart-shaped CSVs."""
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("csv")
+    n_orders, n_users, n_products = 400, 40, 60
+    orders = pd.DataFrame({
+        "order_id": np.arange(n_orders),
+        "user_id": rng.integers(1, n_users + 1, n_orders),
+        "eval_set": "prior",
+        "order_number": rng.integers(1, 10, n_orders),
+        "order_dow": rng.integers(0, 7, n_orders),
+        "order_hour_of_day": rng.integers(0, 24, n_orders),
+        "days_since_prior_order": rng.random(n_orders) * 30,
+    })
+    products = pd.DataFrame({
+        "product_id": np.arange(1, n_products + 1),
+        "product_name": [f"product {i}" for i in range(1, n_products + 1)],
+        "aisle_id": rng.integers(1, 10, n_products),
+        "department_id": rng.integers(1, 5, n_products),
+    })
+    rows = []
+    for oid in range(n_orders):
+        for pid in rng.choice(n_products, size=rng.integers(1, 6), replace=False) + 1:
+            rows.append((oid, pid, 1, 0))
+    order_products = pd.DataFrame(rows, columns=[
+        "order_id", "product_id", "add_to_cart_order", "reordered"])
+    orders.to_csv(d / "orders.csv", index=False)
+    products.to_csv(d / "products.csv", index=False)
+    order_products.to_csv(d / "order_products__prior.csv", index=False)
+    return str(d)
+
+
+def _run(cmd, **env_extra):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env.update(env_extra)
+    return subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+
+
+def test_prepare_then_train_then_export(csv_dir, tmp_path):
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["num_users"] > 0 and meta["num_items"] > 0
+    for split in ("train", "val", "test"):
+        assert os.path.exists(os.path.join(out, split, "index.json"))
+
+    export_dir = str(tmp_path / "model")
+    ckpt_dir = str(tmp_path / "ckpt")
+    r = _run([
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"] + 1),
+        "--num-items", str(meta["num_items"] + 1),
+        "--epochs", "1", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--limit-train-batches", "10", "--limit-val-batches", "3",
+        "--limit-test-batches", "3",
+        "--runs-root", str(tmp_path / "runs"),
+        "--checkpoint-dir", ckpt_dir,
+        "--export-dir", export_dir,
+    ])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "test_auroc" in r.stdout
+    assert os.path.exists(os.path.join(export_dir, "params.npz"))
+    assert os.listdir(ckpt_dir)
+
+    # exported model loads and scores
+    from two_tower_recommender_model_tpu.serving import load_scorer
+    scorer = load_scorer(export_dir)
+    p = scorer.predict({"user_id": [1, 2], "product_id": [3, 4]})
+    assert p.shape == (2,)
+
+
+def test_fetch_script_offline_message(tmp_path):
+    r = _run([sys.executable, "scripts/fetch_instacart.py", "--out", str(tmp_path / "d")],
+             PATH="/usr/bin:/bin")  # ensure no kaggle CLI
+    assert r.returncode == 1
+    assert "kaggle" in r.stderr.lower()

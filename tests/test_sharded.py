@@ -152,3 +152,38 @@ def test_planner_budget_and_plan_print():
     # single device => everything replicated
     plan1 = plan_sharding(mcfg, 1)
     assert all(s.strategy == REPLICATED for s in plan1.specs.values())
+
+
+def test_sharded_topk_matches_dense(rng):
+    from two_tower_recommender_model_tpu.parallel.sharded import make_sharded_topk
+    from jax.sharding import NamedSharding
+    from jax import P as _P
+
+    mesh = make_mesh(4, 2)
+    corpus = jnp.asarray(rng.normal(size=(512, 16)), jnp.float32)
+    queries = jnp.asarray(rng.normal(size=(10, 16)), jnp.float32)
+    sharded_corpus = jax.device_put(corpus, NamedSharding(mesh, _P(("data", "model"), None)))
+    topk = make_sharded_topk(mesh, k=12, corpus_chunk=32)
+    vals, idx = topk(queries, sharded_corpus)
+    scores = np.asarray(queries) @ np.asarray(corpus).T
+    want_idx = np.argsort(-scores, axis=1)[:, :12]
+    want_vals = np.take_along_axis(scores, want_idx, 1)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5, atol=1e-6)
+    got_scores = np.take_along_axis(scores, np.asarray(idx), 1)
+    np.testing.assert_allclose(got_scores, want_vals, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_topk_k_exceeds_shard(rng):
+    # k larger than any single shard's row count still returns global top-k
+    from two_tower_recommender_model_tpu.parallel.sharded import make_sharded_topk
+    from jax.sharding import NamedSharding
+    from jax import P as _P
+
+    mesh = make_mesh(8, 1)
+    corpus = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)  # 8 rows/shard
+    queries = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+    sharded_corpus = jax.device_put(corpus, NamedSharding(mesh, _P(("data", "model"), None)))
+    vals, idx = make_sharded_topk(mesh, k=16, corpus_chunk=8)(queries, sharded_corpus)
+    scores = np.asarray(queries) @ np.asarray(corpus).T
+    want = -np.sort(-scores, axis=1)[:, :16]
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5, atol=1e-6)

@@ -68,7 +68,21 @@ def in_batch_sampled_softmax(
     return (per_row * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
-def make_loss_fn(name: str):
+def item_log_q_from_counts(counts: jax.Array, item_ids: jax.Array) -> jax.Array:
+    """logQ per in-batch item from a corpus count table (empirical sampling
+    probability) — the standard popularity-bias correction for in-batch
+    negatives. `counts` is [num_items] occurrence counts (offline or
+    streaming); returns log(count_i / total) for each batch item."""
+    counts = counts.astype(jnp.float32)
+    total = jnp.maximum(counts.sum(), 1.0)
+    c = jnp.maximum(counts[item_ids], 1.0)
+    return jnp.log(c / total)
+
+
+def make_loss_fn(name: str, candidate_id_feature: str | None = None):
+    """Loss factory. For "sampled_softmax", `candidate_id_feature` names the
+    batch feature whose first-slot ids identify the in-batch items (enables
+    accidental-hit masking; defaults to the model's candidate-side id)."""
     if name == "bce":
         def loss_fn(q, c, batch, log_q=None):
             logits = jnp.sum(q * c, axis=1)
@@ -78,7 +92,8 @@ def make_loss_fn(name: str):
         def loss_fn(q, c, batch, log_q=None):
             logits = jnp.sum(q * c, axis=1)
             item_ids = None
-            # Use the first candidate-side feature's ids for accidental hits.
+            if candidate_id_feature is not None and candidate_id_feature in batch.features:
+                item_ids = batch.features[candidate_id_feature].ids[:, 0]
             loss = in_batch_sampled_softmax(q, c, batch.labels, item_ids, log_q)
             return loss, logits
         return loss_fn

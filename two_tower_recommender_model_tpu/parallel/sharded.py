@@ -247,7 +247,9 @@ def make_sharded_train_step(
     step (`train/step.py`), with sharded lookup/update collectives. Dense
     tower grads sync over the data axis automatically (replicated params,
     data-sharded batch => XLA inserts the psum)."""
-    loss_fn = losses_lib.make_loss_fn(train_cfg.loss)
+    loss_fn = losses_lib.make_loss_fn(
+        train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
+    )
     _, pooled_embeddings = make_sharded_forward(model_cfg, mesh, plan)
     sharded_update = make_sharded_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
@@ -325,3 +327,44 @@ def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh,
         )
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# sharded retrieval
+
+
+def make_sharded_topk(mesh, k: int, corpus_chunk: int = 4096):
+    """Exact top-k over a corpus row-sharded across the flattened mesh.
+
+    Each device scans its corpus shard with the chunked running-merge kernel
+    (`ops/topk.py`), then the per-shard candidates (k per device) are
+    all-gathered and merged — comm is O(devices * Q * k), never the scores
+    matrix. The multi-chip form of the retrieval eval's ANN-service
+    replacement (`04_evaluate_retrieval.py:131-141`)."""
+    from two_tower_recommender_model_tpu.ops.topk import _topk_merge_scan
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(FLAT_AXES, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def topk(queries, corpus_shard):
+        rows = corpus_shard.shape[0]
+        didx = jax.lax.axis_index(FLAT_AXES)
+        chunk = min(corpus_chunk, rows)
+        pad = (-rows) % chunk
+        padded = jnp.pad(corpus_shard, ((0, pad), (0, 0))) if pad else corpus_shard
+        vals, idx = _topk_merge_scan(queries, padded, k, chunk, valid=rows)
+        idx = idx + didx * rows  # local -> global row ids
+        # merge candidates from every shard
+        av = jax.lax.all_gather(vals, FLAT_AXES, axis=0)  # [ndev, Q, k]
+        ai = jax.lax.all_gather(idx, FLAT_AXES, axis=0)
+        ndev = av.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(queries.shape[0], ndev * k)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(queries.shape[0], ndev * k)
+        best, pos = jax.lax.top_k(av, k)
+        return best, jnp.take_along_axis(ai, pos, axis=1)
+
+    return jax.jit(topk)

@@ -110,7 +110,9 @@ def make_train_step(
 ):
     """Single-device jitted train step. The multi-chip version with sharded
     tables lives in `parallel/sharded.py` and shares stages B/C."""
-    loss_fn = losses_lib.make_loss_fn(train_cfg.loss)
+    loss_fn = losses_lib.make_loss_fn(
+        train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
+    )
 
     def step(state: TrainState, batch: Batch):
         pooled = two_tower.pooled_embeddings(state.tables, batch, model_cfg)
