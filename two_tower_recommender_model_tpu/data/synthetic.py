@@ -13,6 +13,8 @@ golden-value tests are stable.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 
@@ -49,9 +51,10 @@ class SyntheticClickstream:
         """Draw n interactions. Half positives (high-affinity items for the
         user), half uniform negatives — mirroring the 1:1 pos/neg union of
         `02_feature_engineering.py:74`."""
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, hash(split) & 0x7FFFFFFF, start])
-        )
+        # zlib.crc32, not hash(): str hash is randomized per process
+        # (PYTHONHASHSEED), which would break cross-process determinism
+        split_key = zlib.crc32(split.encode()) & 0x7FFFFFFF
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, split_key, start]))
         users = rng.integers(1, self.num_users + 1, size=n)
         # Candidate pool per row; pick argmax-affinity among k candidates for
         # positives => preference-correlated positives.
