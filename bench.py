@@ -42,11 +42,13 @@ def main() -> None:
     )
     tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
     ds = SyntheticClickstream(num_users=206_209, num_items=49_688, seed=0)
-    featurizer = PackedFeaturizer(mcfg)  # hashing/masking fuse into the step on-device
+    # hashing/masking fuse into the step on-device; the label bit rides in the
+    # id array, so one 8B/example transfer feeds the chip
+    featurizer = PackedFeaturizer(mcfg, pack_label=True)
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     train_step = make_packed_train_step(
-        make_train_step(mcfg, tcfg, dense_opt, donate=False), mcfg
+        make_train_step(mcfg, tcfg, dense_opt, donate=False), mcfg, pack_label=True
     )
 
     # Pre-generate host column batches; cycle them so the measurement covers

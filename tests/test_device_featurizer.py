@@ -131,3 +131,26 @@ def test_multi_slot_packing(rng):
     for f in ("a", "b"):
         np.testing.assert_array_equal(np.asarray(dev.features[f].ids), host.features[f].ids)
         np.testing.assert_array_equal(np.asarray(dev.features[f].mask), host.features[f].mask)
+
+
+def test_pack_label_roundtrip(mcfg, rng):
+    cols = {
+        "user_id": np.concatenate([[0], rng.integers(1, 90, 15)]),
+        "product_id": rng.integers(0, 55, 16),
+        "label": rng.integers(0, 2, 16),
+    }
+    host = Featurizer(mcfg)(cols)
+    packed = PackedFeaturizer(mcfg, pack_label=True)(cols)
+    assert packed.labels.shape == (0,)
+    dev = jax.jit(lambda p: unpack_batch(p, mcfg, pack_label=True))(
+        jax.tree.map(jnp.asarray, packed))
+    np.testing.assert_array_equal(np.asarray(dev.labels), host.labels)
+    for f in ("user_id", "product_id"):
+        np.testing.assert_array_equal(np.asarray(dev.features[f].ids), host.features[f].ids)
+        np.testing.assert_array_equal(np.asarray(dev.features[f].mask), host.features[f].mask)
+
+
+def test_pack_label_rejects_huge_tables():
+    big = cfg_lib.two_tower_model_config(num_users=1 << 30, num_items=10, embedding_dim=8)
+    with pytest.raises(ValueError, match="2\\^30"):
+        PackedFeaturizer(big, pack_label=True)

@@ -34,22 +34,32 @@ class PackedBatch:
     """Transfer-optimal batch: one id tensor, one label tensor."""
 
     ids_raw: jax.Array  # [B, total_slots] int32 raw (unhashed) ids
-    labels: jax.Array  # [B] int32
+    labels: jax.Array  # [B] int32 ([0] when the label bit is packed into ids_raw)
     dense: jax.Array | None = None
 
     @property
     def batch_size(self) -> int:
-        return self.labels.shape[0]
+        return self.ids_raw.shape[0]
 
 
 class PackedFeaturizer:
     """Host half: dict-of-columns -> PackedBatch (no hashing, no masks)."""
 
     def __init__(self, model_cfg: ModelConfig, dense_cols: tuple[str, ...] = (),
-                 label_col: str = "label"):
+                 label_col: str = "label", pack_label: bool = False):
+        """`pack_label=True` steals bit 30 of slot 0 for the binary label, so
+        the whole batch ships as ONE int32 array (8B/example for the flagship
+        two-feature model instead of 12B — worthwhile when H2D bandwidth, not
+        the chip, bounds throughput). Requires every table < 2^30 rows and
+        binary labels; `unpack_batch` must be called with the same flag."""
         self.config = model_cfg
         self.dense_cols = tuple(dense_cols)
         self.label_col = label_col
+        self.pack_label = pack_label
+        if pack_label:
+            for t in model_cfg.tables:
+                if t.num_embeddings >= (1 << 30):
+                    raise ValueError(f"pack_label needs tables < 2^30 rows; {t.name} too big")
         self.slots: list[tuple[str, int, int]] = [
             (fc.name, fc.max_ids_per_sample, model_cfg.feature_table(fc.name).num_embeddings)
             for fc in model_cfg.features
@@ -85,20 +95,27 @@ class PackedFeaturizer:
             dense = np.stack(
                 [np.asarray(columns[c]).astype(np.float32) for c in self.dense_cols], axis=1
             )
-        return PackedBatch(
-            ids_raw=ids, labels=first.astype(np.int32), dense=dense
-        )
+        labels = first.astype(np.int32)
+        if self.pack_label:
+            np.bitwise_or(ids[:, 0], labels << 30, out=ids[:, 0])
+            labels = np.zeros(0, np.int32)  # carried inside ids_raw
+        return PackedBatch(ids_raw=ids, labels=labels, dense=dense)
 
 
 def unpack_batch(packed: PackedBatch, model_cfg: ModelConfig,
-                 drop_zero_ids: bool = True) -> Batch:
+                 drop_zero_ids: bool = True, pack_label: bool = False) -> Batch:
     """Device half (jit-traceable): slices + hash + mask, fusing into the
     consumer program."""
+    ids_raw = packed.ids_raw
+    labels = packed.labels
+    if pack_label:
+        labels = (ids_raw[:, 0] >> 30) & 1
+        ids_raw = ids_raw.at[:, 0].set(ids_raw[:, 0] & ((1 << 30) - 1))
     feats: dict[str, SparseFeature] = {}
     off = 0
     for fc in model_cfg.features:
         L = fc.max_ids_per_sample
-        raw = jax.lax.slice_in_dim(packed.ids_raw, off, off + L, axis=1)
+        raw = jax.lax.slice_in_dim(ids_raw, off, off + L, axis=1)
         table = model_cfg.table(fc.table)
         hashed = (raw % table.num_embeddings).astype(jnp.int32)
         if drop_zero_ids:
@@ -108,23 +125,27 @@ def unpack_batch(packed: PackedBatch, model_cfg: ModelConfig,
             mask = jnp.ones(raw.shape, jnp.float32)
         feats[fc.name] = SparseFeature(ids=hashed, mask=mask)
         off += L
-    return Batch(features=feats, labels=packed.labels, dense=packed.dense)
+    return Batch(features=feats, labels=labels, dense=packed.dense)
 
 
-def make_packed_train_step(train_step, model_cfg: ModelConfig, drop_zero_ids: bool = True):
+def make_packed_train_step(train_step, model_cfg: ModelConfig, drop_zero_ids: bool = True,
+                           pack_label: bool = False):
     """Wrap a (state, Batch) train step to take PackedBatch."""
     import functools
 
     @functools.wraps(train_step)
     def step(state, packed: PackedBatch):
-        return train_step(state, unpack_batch(packed, model_cfg, drop_zero_ids))
+        return train_step(state, unpack_batch(packed, model_cfg, drop_zero_ids, pack_label))
 
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_packed_eval_step(eval_step, model_cfg: ModelConfig, drop_zero_ids: bool = True):
+def make_packed_eval_step(eval_step, model_cfg: ModelConfig, drop_zero_ids: bool = True,
+                          pack_label: bool = False):
     @jax.jit
     def step(state, eval_state, packed: PackedBatch):
-        return eval_step(state, eval_state, unpack_batch(packed, model_cfg, drop_zero_ids))
+        return eval_step(
+            state, eval_state, unpack_batch(packed, model_cfg, drop_zero_ids, pack_label)
+        )
 
     return step

@@ -128,6 +128,16 @@ def index_ids(
     return out, mappings
 
 
+def binarize_ratings(ratings: np.ndarray, threshold: float | None = None) -> np.ndarray:
+    """Explicit ratings -> binary labels: below the (mean) threshold -> 0,
+    else 1 (the workshop path's label rule,
+    `workshop/01-mosaic-streaming.py:121-138`)."""
+    ratings = np.asarray(ratings, dtype=np.float64)
+    if threshold is None:
+        threshold = float(ratings.mean())
+    return (ratings >= threshold).astype(np.int64)
+
+
 def splits_to_columns(
     df: pd.DataFrame,
     user_col: str = "user_id_index",

@@ -80,6 +80,8 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
         adagrad_acc=accs,
         dense_params=jax.device_put(state.dense_params, rep),
         dense_opt_state=jax.device_put(state.dense_opt_state, rep),
+        item_counts=(None if state.item_counts is None
+                     else jax.device_put(state.item_counts, rep)),
     )
 
 
@@ -97,6 +99,8 @@ def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelC
         adagrad_acc={k: unpad(k, v) for k, v in state.adagrad_acc.items()},
         dense_params=jax.device_get(state.dense_params),
         dense_opt_state=jax.device_get(state.dense_opt_state),
+        item_counts=(None if state.item_counts is None
+                     else jax.device_get(state.item_counts)),
     )
 
 
@@ -258,12 +262,21 @@ def make_sharded_train_step(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
 
+    cand_feature = model_cfg.candidate_tower.features[0]
+
     def step(state: TrainState, batch: Batch):
         pooled, weights = pooled_embeddings(state.tables, batch)
 
+        log_q = None
+        new_counts = state.item_counts
+        if state.item_counts is not None:
+            cand_ids = batch.features[cand_feature].ids[:, 0]
+            new_counts = state.item_counts.at[cand_ids].add(1.0)
+            log_q = losses_lib.item_log_q_from_counts(new_counts, cand_ids)
+
         def loss_of(dense_params, pooled):
             q, c = two_tower.towers_forward(dense_params, pooled, batch.dense, model_cfg)
-            loss, logits = loss_fn(q, c, batch)
+            loss, logits = loss_fn(q, c, batch, log_q=log_q)
             return loss, logits
 
         (loss, logits), (d_dense, d_pooled) = jax.value_and_grad(
@@ -306,6 +319,7 @@ def make_sharded_train_step(
             adagrad_acc=new_acc,
             dense_params=new_dense,
             dense_opt_state=new_opt_state,
+            item_counts=new_counts,
         )
         return new_state, {"loss": loss, "logits": logits}
 

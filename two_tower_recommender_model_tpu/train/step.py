@@ -51,6 +51,9 @@ class TrainState:
     adagrad_acc: dict[str, jax.Array]  # per-table [N] row accumulators
     dense_params: dict
     dense_opt_state: optax.OptState
+    # streaming item-frequency counts [num_candidate_ids] for the sampled-
+    # softmax logQ popularity correction (None unless enabled)
+    item_counts: jax.Array | None = None
 
 
 def dense_param_tree(params: dict) -> dict:
@@ -67,6 +70,10 @@ def create_train_state(
     params = two_tower.init_params(rng, model_cfg)
     dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
     dense_params = dense_param_tree(params)
+    item_counts = None
+    if train_cfg.loss == "sampled_softmax" and train_cfg.logq_correction:
+        cand_table = model_cfg.feature_table(model_cfg.candidate_tower.features[0])
+        item_counts = jnp.zeros((cand_table.num_embeddings,), jnp.float32)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         tables=params["tables"],
@@ -75,6 +82,7 @@ def create_train_state(
         },
         dense_params=dense_params,
         dense_opt_state=dense_opt.init(dense_params),
+        item_counts=item_counts,
     )
     return state, dense_opt
 
@@ -114,12 +122,23 @@ def make_train_step(
         train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
     )
 
+    cand_feature = model_cfg.candidate_tower.features[0]
+
     def step(state: TrainState, batch: Batch):
         pooled = two_tower.pooled_embeddings(state.tables, batch, model_cfg)
 
+        # Streaming logQ: estimate each in-batch item's sampling probability
+        # from running counts (popularity correction for in-batch negatives).
+        log_q = None
+        new_counts = state.item_counts
+        if state.item_counts is not None:
+            cand_ids = batch.features[cand_feature].ids[:, 0]
+            new_counts = state.item_counts.at[cand_ids].add(1.0)
+            log_q = losses_lib.item_log_q_from_counts(new_counts, cand_ids)
+
         def loss_of(dense_params, pooled):
             q, c = two_tower.towers_forward(dense_params, pooled, batch.dense, model_cfg)
-            loss, logits = loss_fn(q, c, batch)
+            loss, logits = loss_fn(q, c, batch, log_q=log_q)
             return loss, logits
 
         (loss, logits), (d_dense, d_pooled) = jax.value_and_grad(
@@ -149,6 +168,7 @@ def make_train_step(
             adagrad_acc=new_acc,
             dense_params=new_dense,
             dense_opt_state=new_opt_state,
+            item_counts=new_counts,
         )
         return new_state, {"loss": loss, "logits": logits}
 
