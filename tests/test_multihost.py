@@ -1,0 +1,124 @@
+"""REAL multi-host test: 2 OS processes x 2 CPU devices each, coordinated via
+`jax.distributed.initialize`, running the sharded train step with per-host
+disjoint data — must reproduce the single-process 4-device result.
+
+This exercises what the virtual-mesh tests cannot: cross-process collectives,
+`make_array_from_process_local_data` batch assembly, per-host loader slicing,
+and the launch helpers — the MNMG rung of the reference's ladder
+(`03_model_training.py:926-990`) without a cluster."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+WORKER = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from two_tower_recommender_model_tpu.parallel.launch import (
+    initialize_multi_host, per_host_loader_slice, put_global_batch, host_info)
+initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert host_info()["global_devices"] == 4
+
+import numpy as np
+import jax.numpy as jnp
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.parallel import (
+    make_mesh, make_sharded_train_step, plan_sharding, shard_train_state)
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+from two_tower_recommender_model_tpu.train.step import create_train_state
+
+mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                      layer_sizes=(16, 8))
+tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+mesh = make_mesh(4, 1)
+plan = plan_sharding(mcfg, 4, force={"t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+state = shard_train_state(state, plan, mesh)
+step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+
+ds = SyntheticClickstream(64, 40, seed=9)
+feat = Featurizer(mcfg)
+host_index, num_hosts = per_host_loader_slice()
+B = 32  # global batch; each host contributes 16
+for i in range(3):
+    cols = ds.sample(B, start=i)
+    lo = host_index * (B // num_hosts)
+    local_cols = {k: v[lo : lo + B // num_hosts] for k, v in cols.items()}
+    batch = put_global_batch(jax.tree.map(np.asarray, feat(local_cols)), mesh)
+    state, out = step(state, batch)
+
+loss = float(jax.device_get(out["loss"]))
+gathered = unshard_train_state(state, plan, mcfg)
+if pid == 0:
+    np.savez(os.path.join(out_dir, "result.npz"),
+             loss=loss,
+             t_user=gathered.tables["t_user_id"],
+             t_item=gathered.tables["t_product_id"])
+print(f"worker {pid} done loss={loss}", flush=True)
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    # inherit the parent env: jax.random output depends on which backend
+    # plugins are registered, and the single-process reference below runs in
+    # this (axon-registered) process — workers must match it
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    result = np.load(tmp_path / "result.npz")
+
+    # single-process reference on the in-test 8-device mesh (first 4 devices)
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ds = SyntheticClickstream(64, 40, seed=9)
+    feat = Featurizer(mcfg)
+    for i in range(3):
+        state, out = step(state, jax.tree.map(jnp.asarray, feat(ds.sample(32, start=i))))
+
+    np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(result["t_user"], np.asarray(state.tables["t_user_id"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
+                               rtol=1e-4, atol=1e-6)

@@ -87,3 +87,24 @@ def global_batch_slice(global_batch_size: int) -> int:
     if global_batch_size % n:
         raise ValueError(f"global batch {global_batch_size} not divisible by {n} hosts")
     return global_batch_size // n
+
+
+def put_global_batch(local_batch, mesh):
+    """Assemble a *global* device batch from this host's local shard.
+
+    Each host streams a disjoint slice (`per_host_loader_slice`) and calls
+    this with its local arrays; the result is a global jax.Array sharded over
+    the mesh's data axis whose global batch = sum of host batches — the
+    multi-host H2D moment of the reference's per-rank dataloaders
+    (`03_model_training.py:758-760`). Works identically in single-process
+    (where it's just a device_put with a data sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS
+
+    def put(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, local_batch)

@@ -85,22 +85,38 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     )
 
 
+def _to_host(arr):
+    """device_get that also works for arrays spanning multiple processes
+    (multi-host): replicated arrays read the local copy, cross-process sharded
+    arrays all-gather (every host gets the full value — the multi-host form of
+    `ShardedTensor.gather`, `03_model_training.py:480-495`)."""
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        if arr.is_fully_replicated:
+            return np.asarray(arr.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return jax.device_get(arr)
+
+
 def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelConfig) -> TrainState:
     """Gather shards to host and strip row padding (the role of
     `ShardedTensor.gather` to rank 0 for checkpointing,
     `03_model_training.py:474-495`)."""
     def unpad(name, arr):
         n = model_cfg.table(name).num_embeddings
-        return jax.device_get(arr)[:n]
+        return _to_host(arr)[:n]
 
+    get = lambda tree: jax.tree.map(_to_host, tree)  # noqa: E731
     return TrainState(
-        step=jax.device_get(state.step),
+        step=_to_host(state.step),
         tables={k: unpad(k, v) for k, v in state.tables.items()},
         adagrad_acc={k: unpad(k, v) for k, v in state.adagrad_acc.items()},
-        dense_params=jax.device_get(state.dense_params),
-        dense_opt_state=jax.device_get(state.dense_opt_state),
-        item_counts=(None if state.item_counts is None
-                     else jax.device_get(state.item_counts)),
+        dense_params=get(state.dense_params),
+        dense_opt_state=get(state.dense_opt_state),
+        item_counts=(None if state.item_counts is None else _to_host(state.item_counts)),
     )
 
 
