@@ -138,11 +138,11 @@ def main():
         return train_loader
 
     def eval_factory(split):
-        # sharded eval needs device-divisible batches; drop the ragged tail
-        # (DistributedSampler-style) — single-device eval keeps every sample
+        # ragged tail batches are padded with zero-weight rows (pad_multiple
+        # below), so no eval sample is ever dropped even when sharded
         return lambda: StreamLoader(
             os.path.join(args.data_dir, split), args.batch_size, shuffle=False,
-            drop_last=sharded, host_index=host_index, num_hosts=num_hosts,
+            drop_last=False, host_index=host_index, num_hosts=num_hosts,
         )
 
     def checkpoint_fn(s, epoch):
@@ -155,6 +155,7 @@ def main():
         val_batches_factory=eval_factory("val"),
         test_batches_factory=eval_factory("test"),
         logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
+        pad_multiple=n_devices if sharded else None,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

@@ -187,3 +187,37 @@ def test_sharded_topk_k_exceeds_shard(rng):
     scores = np.asarray(queries) @ np.asarray(corpus).T
     want = -np.sort(-scores, axis=1)[:, :16]
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5, atol=1e-6)
+
+
+def test_padded_eval_matches_unpadded(setup):
+    """Zero-weight padding must not change eval metrics: sharded eval over
+    padded ragged batches == single-device eval over the raw stream."""
+    from two_tower_recommender_model_tpu.data.featurizer import pad_batch
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+
+    mcfg, tcfg, _ = setup
+    ds = SyntheticClickstream(100, 60, seed=3)
+    feat = Featurizer(mcfg)
+    # ragged batch sizes: 50, 37, 13 (none divisible by 8)
+    cols = [ds.sample(n, "val", start=i) for i, n in enumerate((50, 37, 13))]
+
+    state, _ = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_estep = make_eval_step(mcfg, tcfg)
+    ref_es = eval_state_init()
+    for c in cols:
+        ref_es = ref_estep(state, ref_es, jax.tree.map(jnp.asarray, feat(c)))
+
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={"t_user_id": ROW_SHARDED,
+                                         "t_product_id": ROW_SHARDED})
+    sh_state = shard_train_state(state, plan, mesh)
+    estep = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
+    es = eval_state_init()
+    for c in cols:
+        b = pad_batch(feat(c), 8)
+        assert b.batch_size % 8 == 0
+        es = estep(sh_state, es, _put_batch(jax.tree.map(jnp.asarray, b), mesh))
+    np.testing.assert_allclose(float(mean_compute(es.loss)),
+                               float(mean_compute(ref_es.loss)), rtol=1e-5)
+    np.testing.assert_allclose(float(auroc_compute(es.auroc)),
+                               float(auroc_compute(ref_es.auroc)), rtol=1e-5)

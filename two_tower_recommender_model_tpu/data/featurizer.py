@@ -44,15 +44,47 @@ class SparseFeature:
 @flax.struct.dataclass
 class Batch:
     """One training batch (the role of `torchrec.datasets.utils.Batch`,
-    reference `03_model_training.py:376-380`)."""
+    reference `03_model_training.py:376-380`).
+
+    `weights` (optional, [B]) marks per-sample validity/importance — padding
+    rows carry weight 0 so metrics ignore them (see `pad_batch`)."""
 
     features: dict[str, SparseFeature]
     labels: jax.Array  # [B] int32
     dense: jax.Array | None = None  # [B, dense_dim] float32 side features
+    weights: jax.Array | None = None  # [B] float32 sample weights
 
     @property
     def batch_size(self) -> int:
         return self.labels.shape[0]
+
+
+def pad_batch(batch: Batch, multiple: int) -> Batch:
+    """Pad to a multiple of `multiple` rows with zero-weight samples, so a
+    ragged tail batch can shard across devices without skewing metrics (the
+    clean alternative to dropping it)."""
+    b = batch.batch_size
+    pad = (-b) % multiple
+    if pad == 0 and batch.weights is not None:
+        return batch
+    weights = batch.weights
+    if weights is None:
+        weights = np.ones(b, np.float32)
+    if pad == 0:
+        return batch.replace(weights=weights)
+
+    def padrows(x):
+        return np.concatenate([np.asarray(x), np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    return Batch(
+        features={
+            k: SparseFeature(ids=padrows(v.ids), mask=padrows(v.mask))
+            for k, v in batch.features.items()
+        },
+        labels=padrows(batch.labels),
+        dense=None if batch.dense is None else padrows(batch.dense),
+        weights=padrows(weights),
+    )
 
 
 class Featurizer:

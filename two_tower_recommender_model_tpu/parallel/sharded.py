@@ -350,9 +350,16 @@ def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh,
     def step(state: TrainState, eval_state: EvalState, batch: Batch):
         q, c = forward(state, batch)
         loss, logits = loss_fn(q, c, batch)
-        n = jnp.float32(batch.labels.shape[0])
+        w = batch.weights
+        if w is None:
+            n = jnp.float32(batch.labels.shape[0])
+        else:
+            per = jnp.maximum(logits, 0) - logits * batch.labels.astype(logits.dtype) \
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            n = w.sum()
+            loss = (per * w).sum() / jnp.maximum(n, 1.0)
         return EvalState(
-            auroc=auroc_update(eval_state.auroc, logits, batch.labels),
+            auroc=auroc_update(eval_state.auroc, logits, batch.labels, w),
             loss=mean_update(eval_state.loss, loss, n),
         )
 

@@ -19,7 +19,7 @@ from typing import Callable, Iterable
 import jax
 
 from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
-from two_tower_recommender_model_tpu.data.featurizer import Featurizer
+from two_tower_recommender_model_tpu.data.featurizer import Featurizer, pad_batch
 from two_tower_recommender_model_tpu.models.metrics import auroc_compute, mean_compute
 from two_tower_recommender_model_tpu.train import pipeline as pipeline_lib
 from two_tower_recommender_model_tpu.train.step import TrainState, eval_state_init
@@ -35,15 +35,21 @@ def evaluate(
     limit_batches: int | None = None,
     stage: str = "val",
     sharding=None,
+    pad_multiple: int | None = None,
 ) -> dict[str, float]:
     """One pass of eval; returns {"<stage>_loss", "<stage>_auroc"}
-    (`03_model_training.py:504-566`)."""
+    (`03_model_training.py:504-566`). `pad_multiple` pads ragged tail batches
+    with zero-weight rows so they shard across devices without dropping or
+    skewing metrics."""
     es = eval_state_init()
     it = iter(batches)
     if limit_batches is not None:
         it = itertools.islice(it, limit_batches)
+    featurize = featurizer
+    if pad_multiple:
+        featurize = lambda cols: pad_batch(featurizer(cols), pad_multiple)  # noqa: E731
     n = 0
-    for batch in pipeline_lib.prefetch_to_device(it, featurizer, sharding=sharding):
+    for batch in pipeline_lib.prefetch_to_device(it, featurize, sharding=sharding):
         es = eval_step(state, es, batch)
         n += 1
     loss = float(mean_compute(es.loss)) if n else float("nan")
@@ -115,12 +121,13 @@ def train_val_test(
     logger=None,
     checkpoint_fn: Callable[[TrainState, int], None] | None = None,
     sharding=None,
+    pad_multiple: int | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     results: dict[str, float] = {}
 
     metrics = evaluate(
         state, eval_step, val_batches_factory(), featurizer,
-        train_cfg.limit_val_batches, "val", sharding,
+        train_cfg.limit_val_batches, "val", sharding, pad_multiple,
     )
     log.info("baseline %s", metrics)
     results.update({f"baseline_{k}": v for k, v in metrics.items()})
@@ -134,7 +141,7 @@ def train_val_test(
         )
         metrics = evaluate(
             state, eval_step, val_batches_factory(), featurizer,
-            train_cfg.limit_val_batches, "val", sharding,
+            train_cfg.limit_val_batches, "val", sharding, pad_multiple,
         )
         log.info("epoch %d train %s val %s", epoch, stats, metrics)
         results.update(metrics)
@@ -146,7 +153,7 @@ def train_val_test(
 
     metrics = evaluate(
         state, eval_step, test_batches_factory(), featurizer,
-        train_cfg.limit_test_batches, "test", sharding,
+        train_cfg.limit_test_batches, "test", sharding, pad_multiple,
     )
     log.info("test %s", metrics)
     results.update(metrics)

@@ -196,9 +196,17 @@ def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig):
         params = full_params(state)
         q, c = two_tower.forward(params, batch, model_cfg)
         loss, logits = loss_fn(q, c, batch)
-        n = jnp.float32(batch.labels.shape[0])
+        w = batch.weights
+        if w is None:
+            n = jnp.float32(batch.labels.shape[0])
+        else:
+            # zero-weight rows are padding: re-average the loss over real rows
+            per = jnp.maximum(logits, 0) - logits * batch.labels.astype(logits.dtype) \
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            n = w.sum()
+            loss = (per * w).sum() / jnp.maximum(n, 1.0)
         return EvalState(
-            auroc=auroc_update(eval_state.auroc, logits, batch.labels),
+            auroc=auroc_update(eval_state.auroc, logits, batch.labels, w),
             loss=mean_update(eval_state.loss, loss, n),
         )
 
