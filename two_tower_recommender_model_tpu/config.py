@@ -83,6 +83,13 @@ class ModelConfig:
     candidate_tower: TowerConfig
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly towers
+    # table storage dtype; None -> param_dtype. "bfloat16" halves gather HBM
+    # traffic at production table sizes (optimizer math stays f32)
+    table_dtype: str | None = None
+
+    @property
+    def resolved_table_dtype(self) -> str:
+        return self.table_dtype or self.param_dtype
 
     def table(self, name: str) -> TableConfig:
         for t in self.tables:
@@ -222,6 +229,7 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
         candidate_tower=tower(d["candidate_tower"]),
         param_dtype=d.get("param_dtype", "float32"),
         compute_dtype=d.get("compute_dtype", "float32"),
+        table_dtype=d.get("table_dtype"),
     )
     cfg.validate()
     return cfg

@@ -44,9 +44,10 @@ def tower_in_dim(cfg: ModelConfig, tower: TowerConfig) -> int:
 def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     cfg.validate()
     dtype = jnp.dtype(cfg.param_dtype)
+    table_dtype = jnp.dtype(cfg.resolved_table_dtype)
     keys = jax.random.split(rng, len(cfg.tables) + 2)
     tables = {
-        t.name: init_table(k, t.num_embeddings, t.embedding_dim, dtype)
+        t.name: init_table(k, t.num_embeddings, t.embedding_dim, table_dtype)
         for t, k in zip(cfg.tables, keys[:-2])
     }
     return {
@@ -64,8 +65,14 @@ def pooled_embeddings(
     tables: dict[str, jax.Array], batch: Batch, cfg: ModelConfig
 ) -> dict[str, jax.Array]:
     """Per-feature pooled embeddings `{feature: [B, D_f]}` — the role of
-    `self.ebc(kjt)` (`03_model_training.py:417`)."""
-    compute_dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != cfg.param_dtype else None
+    `self.ebc(kjt)` (`03_model_training.py:417`). Pooled outputs are cast to
+    the compute dtype when it differs from the table storage dtype (e.g. bf16
+    tables pooled into f32 activations)."""
+    compute_dtype = (
+        jnp.dtype(cfg.compute_dtype)
+        if cfg.compute_dtype != cfg.resolved_table_dtype
+        else None
+    )
     out = {}
     for fc in cfg.features:
         feat = batch.features[fc.name]
