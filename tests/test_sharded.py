@@ -221,3 +221,92 @@ def test_padded_eval_matches_unpadded(setup):
                                float(mean_compute(ref_es.loss)), rtol=1e-5)
     np.testing.assert_allclose(float(auroc_compute(es.auroc)),
                                float(auroc_compute(ref_es.auroc)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_column_sharded_matches_single_device(setup, mesh_shape):
+    """Column-sharded tables (TorchRec's column-wise sharder analog) must
+    reproduce single-device numerics, including the cross-shard psum in the
+    row-wise Adagrad accumulator."""
+    from two_tower_recommender_model_tpu.parallel.planner import COLUMN_SHARDED
+
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(*mesh_shape)
+    plan = plan_sharding(mcfg, mesh.devices.size, force={
+        "t_user_id": COLUMN_SHARDED, "t_product_id": COLUMN_SHARDED})
+    assert plan["t_user_id"].padded_dim % 8 == 0
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            gathered.adagrad_acc[name], np.asarray(ref_state.adagrad_acc[name]),
+            rtol=1e-4, atol=1e-6)
+
+
+def test_mixed_row_column_replicated(setup):
+    from two_tower_recommender_model_tpu.parallel.planner import COLUMN_SHARDED
+
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": COLUMN_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches[:2]:
+        ref_state, _ = ref_step(ref_state, b)
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches[:2]:
+        sh_state, _ = step(sh_state, _put_batch(b, mesh))
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6)
+
+
+def test_column_sharded_dim_padding():
+    """embedding_dim not divisible by device count pads columns; numerics and
+    export shape stay correct."""
+    from two_tower_recommender_model_tpu.parallel.planner import COLUMN_SHARDED
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=12,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig()
+    ds = SyntheticClickstream(50, 30, seed=1)
+    feat = Featurizer(mcfg)
+    batches = [jax.tree.map(jnp.asarray, feat(ds.sample(32, start=i))) for i in range(2)]
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={"t_user_id": COLUMN_SHARDED,
+                                         "t_product_id": COLUMN_SHARDED})
+    assert plan["t_user_id"].padded_dim == 16
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, _ = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, _ = step(sh_state, _put_batch(b, mesh))
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    assert gathered.tables["t_user_id"].shape == (50, 12)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6)

@@ -28,6 +28,7 @@ from two_tower_recommender_model_tpu.config import ModelConfig
 
 REPLICATED = "replicated"
 ROW_SHARDED = "row_sharded"
+COLUMN_SHARDED = "column_sharded"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +39,7 @@ class TableShard:
     padded_rows: int  # physical rows (device multiple for row_sharded)
     embedding_dim: int
     bytes_per_device: int
+    padded_dim: int = 0  # physical dim (device multiple, column_sharded only)
 
     @property
     def rows_per_device(self) -> int:
@@ -108,10 +110,18 @@ def plan_sharding(
             strategy = REPLICATED
         else:
             strategy = ROW_SHARDED
+        padded_dim = t.embedding_dim
         if strategy == ROW_SHARDED:
             padded = _round_up(t.num_embeddings, num_devices)
             per_dev_rows = padded // num_devices
             bytes_per_device = (per_dev_rows * t.embedding_dim + per_dev_rows) * bytes_per_param
+        elif strategy == COLUMN_SHARDED:
+            padded = t.num_embeddings
+            padded_dim = _round_up(t.embedding_dim, num_devices)
+            # full acc row vector is replicated per device
+            bytes_per_device = (
+                t.num_embeddings * (padded_dim // num_devices) + t.num_embeddings
+            ) * bytes_per_param
         else:
             padded = t.num_embeddings
             bytes_per_device = table_bytes
@@ -122,6 +132,7 @@ def plan_sharding(
             padded_rows=padded,
             embedding_dim=t.embedding_dim,
             bytes_per_device=bytes_per_device,
+            padded_dim=padded_dim,
         )
     plan = ShardingPlan(
         num_devices=num_devices,

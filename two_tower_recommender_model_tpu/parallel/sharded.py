@@ -38,7 +38,11 @@ from two_tower_recommender_model_tpu.models import losses as losses_lib
 from two_tower_recommender_model_tpu.models import two_tower
 from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_update
 from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
-from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED, ShardingPlan
+from two_tower_recommender_model_tpu.parallel.planner import (
+    COLUMN_SHARDED,
+    ROW_SHARDED,
+    ShardingPlan,
+)
 from two_tower_recommender_model_tpu.train import optimizer as opt_lib
 from two_tower_recommender_model_tpu.train.step import EvalState, TrainState
 
@@ -71,6 +75,12 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
                 a = jnp.pad(a, (0, pad))
             tables[name] = jax.device_put(t, NamedSharding(mesh, P(FLAT_AXES, None)))
             accs[name] = jax.device_put(a, NamedSharding(mesh, P(FLAT_AXES)))
+        elif spec.strategy == COLUMN_SHARDED:
+            dpad = spec.padded_dim - t.shape[1]
+            if dpad:
+                t = jnp.pad(t, ((0, 0), (0, dpad)))
+            tables[name] = jax.device_put(t, NamedSharding(mesh, P(None, FLAT_AXES)))
+            accs[name] = jax.device_put(a, rep)  # full-row accumulator, replicated
         else:
             tables[name] = jax.device_put(t, rep)
             accs[name] = jax.device_put(a, rep)
@@ -106,8 +116,11 @@ def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelC
     `ShardedTensor.gather` to rank 0 for checkpointing,
     `03_model_training.py:474-495`)."""
     def unpad(name, arr):
-        n = model_cfg.table(name).num_embeddings
-        return _to_host(arr)[:n]
+        t = model_cfg.table(name)
+        out = _to_host(arr)[: t.num_embeddings]
+        if out.ndim == 2 and out.shape[1] > t.embedding_dim:
+            out = out[:, : t.embedding_dim]
+        return out
 
     get = lambda tree: jax.tree.map(_to_host, tree)  # noqa: E731
     return TrainState(
@@ -212,6 +225,63 @@ def make_replicated_update(mesh, lr: float, eps: float):
     return update
 
 
+def make_column_lookup(mesh):
+    """Weighted-sum pooled lookup over a column-sharded table: every device
+    holds all rows for a column slice; the slices concat back via an
+    all_gather on the feature axis."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, FLAT_AXES), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def lookup(table_cols, ids, w):
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        emb = jnp.take(table_cols, ids_all, axis=0)
+        part = (emb * jnp.where(w_all != 0, w_all, 0.0)[..., None].astype(emb.dtype)).sum(1)
+        full = jax.lax.all_gather(part, FLAT_AXES, axis=1, tiled=True)  # [B_glob, D_pad]
+        didx = jax.lax.axis_index(DATA_AXIS)
+        b_loc = ids.shape[0]
+        return jax.lax.dynamic_slice_in_dim(full, didx * b_loc, b_loc, axis=0)
+
+    return lookup
+
+
+def make_column_update(mesh, lr: float, eps: float, full_dim: int):
+    """Row-wise Adagrad on a column-sharded table: weight update touches local
+    columns; the per-row squared-grad reduction psums across column shards so
+    the replicated accumulator stays consistent."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, FLAT_AXES), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(None, FLAT_AXES), P()),
+        check_vma=False,
+    )
+    def update(table_cols, acc, ids, w, row_g):
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)  # [B_glob, Lt, D_pad]
+        didx = jax.lax.axis_index(FLAT_AXES)
+        d_loc = table_cols.shape[1]
+        g_cols = jax.lax.dynamic_slice_in_dim(g_all, didx * d_loc, d_loc, axis=2)
+        n = table_cols.shape[0]
+        flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
+        flat_g = g_cols.reshape(-1, d_loc)
+        return opt_lib.sparse_rowwise_adagrad_columns(
+            table_cols, acc, flat_ids, flat_g, lr, eps, full_dim, psum_axis=FLAT_AXES
+        )
+
+    return update
+
+
 # ---------------------------------------------------------------------------
 # forward / train / eval step builders
 
@@ -233,6 +303,7 @@ def _local_weighted_pool(table, ids, w):
 
 def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
     lookup = make_sharded_lookup(mesh)
+    col_lookup = make_column_lookup(mesh)
 
     def pooled_embeddings(tables, batch: Batch):
         pooled, weights = {}, {}
@@ -240,8 +311,14 @@ def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
             feat = batch.features[fc.name]
             w = _pool_weights(fc, feat)
             weights[fc.name] = w
-            if plan[fc.table].strategy == ROW_SHARDED:
+            spec = plan[fc.table]
+            if spec.strategy == ROW_SHARDED:
                 pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
+            elif spec.strategy == COLUMN_SHARDED:
+                out = col_lookup(tables[fc.table], feat.ids, w)
+                if spec.padded_dim > spec.embedding_dim:
+                    out = out[:, : spec.embedding_dim]
+                pooled[fc.name] = out
             else:
                 pooled[fc.name] = _local_weighted_pool(tables[fc.table], feat.ids, w)
         return pooled, weights
@@ -277,6 +354,13 @@ def make_sharded_train_step(
     replicated_update = make_replicated_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
+    column_updates = {
+        t.name: make_column_update(
+            mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps, t.embedding_dim
+        )
+        for t in model_cfg.tables
+        if plan[t.name].strategy == COLUMN_SHARDED
+    }
 
     cand_feature = model_cfg.candidate_tower.features[0]
 
@@ -320,11 +404,17 @@ def make_sharded_train_step(
             ids = jnp.concatenate([p[0] for p in parts], axis=1)
             w = jnp.concatenate([p[1] for p in parts], axis=1)
             row_g = jnp.concatenate([p[2] for p in parts], axis=1)
-            upd = (
-                sharded_update
-                if plan[tname].strategy == ROW_SHARDED
-                else replicated_update
-            )
+            spec = plan[tname]
+            if spec.strategy == COLUMN_SHARDED:
+                if spec.padded_dim > spec.embedding_dim:
+                    row_g = jnp.pad(
+                        row_g, ((0, 0), (0, 0), (0, spec.padded_dim - spec.embedding_dim))
+                    )
+                upd = column_updates[tname]
+            elif spec.strategy == ROW_SHARDED:
+                upd = sharded_update
+            else:
+                upd = replicated_update
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
             )

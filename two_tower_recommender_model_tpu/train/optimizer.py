@@ -98,6 +98,51 @@ def dense_rowwise_adagrad(
     return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
 
 
+def sparse_rowwise_adagrad_columns(
+    table_cols: jax.Array,  # [N, D_local] — this device's column slice
+    acc: jax.Array,  # [N] row accumulators (replicated across column shards)
+    flat_ids: jax.Array,  # [M] (sentinel N for dead)
+    flat_grads_cols: jax.Array,  # [M, D_local] grads for the local columns
+    lr: float,
+    eps: float,
+    full_dim: int,
+    psum_axis=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-wise Adagrad for a column-sharded table: the accumulator is per
+    FULL row, so the squared-gradient reduction spans all column shards
+    (psum over `psum_axis`); the weight update touches only local columns.
+    Deterministic given sorted ids, so the replicated accumulator stays in
+    sync across shards."""
+    n, d_local = table_cols.shape
+    m = flat_ids.shape[0]
+    order = jnp.argsort(flat_ids)
+    sids = flat_ids[order]
+    sg = flat_grads_cols[order].astype(jnp.float32)
+    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(starts) - 1
+    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)
+    rep = jax.ops.segment_max(sids, seg, num_segments=m)
+    valid = (rep >= 0) & (rep < n)
+    safe = jnp.where(valid, rep, 0)
+
+    g2_local = jnp.sum(g_seg * g_seg, axis=1)  # partial sum over local columns
+    if psum_axis is not None:
+        g2 = jax.lax.psum(g2_local, psum_axis) / full_dim
+    else:
+        g2 = g2_local / full_dim
+
+    rows = table_cols[safe].astype(jnp.float32)
+    acc_rows = acc[safe].astype(jnp.float32)
+    new_acc_rows = acc_rows + g2
+    denom = jnp.sqrt(new_acc_rows) + eps
+    new_rows = rows - lr * g_seg / denom[:, None]
+
+    scatter_idx = jnp.where(valid, rep, n)
+    new_table = table_cols.at[scatter_idx].set(new_rows.astype(table_cols.dtype), mode="drop")
+    new_acc = acc.at[scatter_idx].set(new_acc_rows.astype(acc.dtype), mode="drop")
+    return new_table, new_acc
+
+
 def dense_optimizer(
     learning_rate: float,
     schedule: str = "constant",
