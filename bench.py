@@ -28,45 +28,55 @@ def main() -> None:
     from two_tower_recommender_model_tpu.data import SyntheticClickstream
     from two_tower_recommender_model_tpu.data.device_featurizer import (
         PackedFeaturizer,
-        make_packed_train_step,
+        unpack_batch,
     )
     from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
-    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_multi_step,
+        make_train_step,
+        stack_batches,
+    )
 
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 65536))
-    warmup_steps = 10
-    measure_steps = int(os.environ.get("BENCH_STEPS", 200))
+    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 8))  # K steps per dispatch
+    warmup = 3
+    measure = int(os.environ.get("BENCH_STEPS", 200)) // macro
 
     mcfg = cfg_lib.two_tower_model_config(
         num_users=206_209, num_items=49_688, embedding_dim=128, layer_sizes=(128, 64)
     )
     tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
     ds = SyntheticClickstream(num_users=206_209, num_items=49_688, seed=0)
-    # hashing/masking fuse into the step on-device; the label bit rides in the
-    # id array, so one 8B/example transfer feeds the chip
+    # Device-side featurization (hash/mask fuse into the step; label bit rides
+    # in the id array => one 8B/example transfer) + macro-batching (K batches
+    # per lax.scan dispatch, amortizing transfer/dispatch latency).
     featurizer = PackedFeaturizer(mcfg, pack_label=True)
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
-    train_step = make_packed_train_step(
-        make_train_step(mcfg, tcfg, dense_opt, donate=False), mcfg, pack_label=True
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    train_step = make_multi_step(
+        lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
     )
 
-    # Pre-generate host column batches; cycle them so the measurement covers
-    # featurization + H2D + step dispatch at steady state.
-    host_batches = [ds.sample(batch_size, start=i) for i in range(16)]
-    stream = itertools.islice(itertools.cycle(host_batches), warmup_steps + measure_steps)
+    host_batches = [ds.sample(batch_size, start=i) for i in range(32)]
+
+    def macro_stream(n_macros):
+        it = itertools.cycle(host_batches)
+        for _ in range(n_macros):
+            yield stack_batches([featurizer(next(it)) for _ in range(macro)])
 
     n = 0
     t0 = None
-    for batch in prefetch_to_device(stream, featurizer, prefetch=4):
-        state, out = train_step(state, batch)
+    for mb in prefetch_to_device(macro_stream(warmup + measure), lambda x: x, prefetch=3):
+        state, out = train_step(state, mb)
         n += 1
-        if n == warmup_steps:
+        if n == warmup:
             jax.block_until_ready(out["loss"])
             t0 = time.perf_counter()
     jax.block_until_ready(out["loss"])
     dt = time.perf_counter() - t0
-    examples_per_sec = measure_steps * batch_size / dt
+    examples_per_sec = measure * macro * batch_size / dt
 
     print(
         json.dumps(

@@ -154,3 +154,45 @@ def test_pack_label_rejects_huge_tables():
     big = cfg_lib.two_tower_model_config(num_users=1 << 30, num_items=10, embedding_dim=8)
     with pytest.raises(ValueError, match="2\\^30"):
         PackedFeaturizer(big, pack_label=True)
+
+
+def test_multi_step_scan_matches_sequential(mcfg, rng):
+    """K batches through one lax.scan dispatch == K sequential steps."""
+    from two_tower_recommender_model_tpu.data.device_featurizer import unpack_batch
+    from two_tower_recommender_model_tpu.train.step import make_multi_step, stack_batches
+
+    tcfg = cfg_lib.TrainConfig()
+    ds = SyntheticClickstream(100, 60, seed=2)
+    packed_f = PackedFeaturizer(mcfg)
+    host = [packed_f(ds.sample(64, start=i)) for i in range(6)]
+
+    state_a, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    state_b = state_a
+    seq = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for pb in host:
+        state_a, out_a = seq(state_a, unpack_batch(jax.tree.map(jnp.asarray, pb), mcfg))
+
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    core_packed = lambda s, pb: core(s, unpack_batch(pb, mcfg))  # noqa: E731
+    multi = make_multi_step(core_packed, donate=False)
+    stacked = jax.tree.map(jnp.asarray, stack_batches(host))
+    state_b, out_b = multi(state_b, stacked)
+    assert out_b["loss"].shape == (6,)
+    np.testing.assert_allclose(float(out_b["loss"][-1]), float(out_a["loss"]), rtol=1e-6)
+    for name in state_a.tables:
+        np.testing.assert_array_equal(np.asarray(state_a.tables[name]),
+                                      np.asarray(state_b.tables[name]))
+    assert int(state_b.step) == 6
+
+
+def test_prefetch_multiworker_order_preserved(mcfg, rng):
+    from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
+
+    feat = Featurizer(mcfg)
+    ds = SyntheticClickstream(100, 60, seed=0)
+    cols = [ds.sample(32, start=i) for i in range(12)]
+    a = [np.asarray(b.labels) for b in prefetch_to_device(iter(cols), feat, num_workers=4)]
+    b = [np.asarray(b.labels) for b in prefetch_to_device(iter(cols), feat, num_workers=1)]
+    assert len(a) == len(b) == 12
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -32,9 +32,31 @@ def prefetch_to_device(
     prefetch: int = 2,
     sharding=None,
     background: bool = True,
+    num_workers: int = 1,
 ) -> Iterator[Batch]:
-    """Yield device-resident Batches, keeping `prefetch` transfers in flight."""
-    if background:
+    """Yield device-resident Batches, keeping `prefetch` transfers in flight.
+    `num_workers > 1` featurizes concurrently (order preserved) — useful when
+    host featurization, not the device, limits throughput."""
+    if background and num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def host_batches():
+            futures: collections.deque = collections.deque()
+            it = iter(columns_iter)
+            try:
+                for cols in it:
+                    futures.append(pool.submit(featurize, cols))
+                    if len(futures) > num_workers + 1:
+                        yield futures.popleft().result()
+                while futures:
+                    yield futures.popleft().result()
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+        source = host_batches()
+    elif background:
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = object()
         err: list[BaseException] = []

@@ -115,9 +115,12 @@ def make_train_step(
     dense_opt: optax.GradientTransformation,
     sparse_update: Callable = opt_lib.sparse_rowwise_adagrad,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Single-device jitted train step. The multi-chip version with sharded
-    tables lives in `parallel/sharded.py` and shares stages B/C."""
+    tables lives in `parallel/sharded.py` and shares stages B/C.
+    `jit=False` returns the raw traceable step (for composition under
+    `lax.scan`, see `make_multi_step`)."""
     loss_fn = losses_lib.make_loss_fn(
         train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
     )
@@ -172,7 +175,36 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "logits": logits}
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(step_fn: Callable, donate: bool = True):
+    """Train on a K-batch macro-batch in ONE device dispatch: `lax.scan` over
+    stacked batches (leading axis K on every leaf). Amortizes per-dispatch and
+    per-transfer latency when the host feed, not the chip, is the bottleneck —
+    the TPU-idiomatic macro-batching pattern. Returns (state, {"loss": [K]}).
+
+    `step_fn` must be an unjitted step core (e.g. `make_train_step(...,
+    jit=False)`, optionally composed with `unpack_batch`)."""
+
+    def multi(state, stacked_batches):
+        def body(carry, one_batch):
+            new_state, out = step_fn(carry, one_batch)
+            return new_state, out["loss"]
+
+        state, losses = jax.lax.scan(body, state, stacked_batches)
+        return state, {"loss": losses}
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches: list):
+    """Stack K host batches into one macro-batch pytree (leading axis K)."""
+    import numpy as np
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 @flax.struct.dataclass
