@@ -104,15 +104,28 @@ class StreamLoader:
     # -- iteration --------------------------------------------------------
 
     def _shard_reader(self, plan: list[int], out: queue.Queue, stop: threading.Event):
+        def put(item) -> bool:
+            # bounded-queue put that gives up when the consumer abandoned the
+            # iterator (otherwise this thread would block forever holding a
+            # decoded shard)
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for s in plan:
                 if stop.is_set():
                     return
-                out.put((s, self.dataset.read_shard(s, self.columns)))
+                if not put((s, self.dataset.read_shard(s, self.columns))):
+                    return
         except BaseException as e:
-            out.put(e)
+            put(e)
         finally:
-            out.put(None)
+            put(None)
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         epoch = self._epoch

@@ -52,6 +52,9 @@ def export_feature_embeddings(
     fc = model_cfg.feature(feature_name)
     table_cfg = model_cfg.table(fc.table)
     table = jnp.asarray(params["tables"][fc.table])
+    # device-resident copies: numpy leaves closed over by jit would be baked
+    # into the program as literal constants (recompile + bloat per call)
+    params = {tower_key: jax.tree.map(jnp.asarray, params[tower_key]), "tables": {}}
     if ids is None:
         ids = np.arange(table_cfg.num_embeddings)
     ids = np.asarray(ids)

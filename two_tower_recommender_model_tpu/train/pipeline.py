@@ -59,28 +59,42 @@ def prefetch_to_device(
     elif background:
         q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         stop = object()
+        abandoned = threading.Event()
         err: list[BaseException] = []
+
+        def put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for cols in columns_iter:
-                    q.put(featurize(cols))
+                    if not put(featurize(cols)):
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
 
         def host_batches():
-            while True:
-                item = q.get()
-                if item is stop:
-                    if err:
-                        raise err[0]
-                    return
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is stop:
+                        if err:
+                            raise err[0]
+                        return
+                    yield item
+            finally:
+                abandoned.set()
 
         source = host_batches()
     else:
