@@ -51,10 +51,11 @@ def export_feature_embeddings(
     tower_key, tower = _tower_for_feature(model_cfg, feature_name)
     fc = model_cfg.feature(feature_name)
     table_cfg = model_cfg.table(fc.table)
+    # arrays go in as ARGUMENTS, never closures: a closed-over table would be
+    # baked into the lowered program as a literal constant (observed 200s+
+    # compiles shipping a 105MB table inside the HLO)
     table = jnp.asarray(params["tables"][fc.table])
-    # device-resident copies: numpy leaves closed over by jit would be baked
-    # into the program as literal constants (recompile + bloat per call)
-    params = {tower_key: jax.tree.map(jnp.asarray, params[tower_key]), "tables": {}}
+    tower_params = jax.tree.map(jnp.asarray, params[tower_key])
     if ids is None:
         ids = np.arange(table_cfg.num_embeddings)
     ids = np.asarray(ids)
@@ -63,7 +64,7 @@ def export_feature_embeddings(
     compute_dtype = jnp.dtype(model_cfg.compute_dtype)
 
     @jax.jit
-    def run_chunk(chunk_ids):
+    def run_chunk(table, tower_params, chunk_ids):
         rows = jnp.take(table, chunk_ids, axis=0)
         xs = []
         for f in tower.features:
@@ -74,7 +75,7 @@ def export_feature_embeddings(
         if tower.dense_dim:
             xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype))
         x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
-        return apply_mlp(params[tower_key], x, tower.activation,
+        return apply_mlp(tower_params, x, tower.activation,
                          tower.final_activation, compute_dtype)
 
     bs = min(batch_size, len(ids))
@@ -84,7 +85,7 @@ def export_feature_embeddings(
         pad = bs - len(chunk)  # pad the tail chunk so one jit compile serves all
         if pad:
             chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-        emb = np.asarray(run_chunk(jnp.asarray(chunk)))
+        emb = np.asarray(run_chunk(table, tower_params, jnp.asarray(chunk)))
         out.append(emb[: bs - pad])
     return np.concatenate(out, axis=0)
 
