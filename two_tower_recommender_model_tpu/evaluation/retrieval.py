@@ -60,25 +60,10 @@ def export_feature_embeddings(
         ids = np.arange(table_cfg.num_embeddings)
     ids = np.asarray(ids)
 
-    dims = {f: model_cfg.feature_table(f).embedding_dim for f in tower.features}
-    compute_dtype = jnp.dtype(model_cfg.compute_dtype)
-
-    @jax.jit
-    def run_chunk(table, tower_params, chunk_ids):
-        rows = jnp.take(table, chunk_ids, axis=0)
-        xs = []
-        for f in tower.features:
-            if f == feature_name:
-                xs.append(rows)
-            else:
-                xs.append(jnp.zeros((rows.shape[0], dims[f]), rows.dtype))
-        if tower.dense_dim:
-            xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype))
-        x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
-        return apply_mlp(tower_params, x, tower.activation,
-                         tower.final_activation, compute_dtype)
-
     bs = min(batch_size, len(ids))
+    run_chunk = functools.partial(
+        _export_chunk, model_cfg=model_cfg, feature_name=feature_name, tower_key=tower_key
+    )
     out = []
     for start in range(0, len(ids), bs):
         chunk = ids[start : start + bs]
@@ -88,6 +73,26 @@ def export_feature_embeddings(
         emb = np.asarray(run_chunk(table, tower_params, jnp.asarray(chunk)))
         out.append(emb[: bs - pad])
     return np.concatenate(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "feature_name", "tower_key"))
+def _export_chunk(table, tower_params, chunk_ids, *, model_cfg, feature_name, tower_key):
+    # module-level jit: cached across export calls (configs are hashable
+    # frozen dataclasses, so they key the cache as static args)
+    tower = getattr(model_cfg, tower_key)
+    rows = jnp.take(table, chunk_ids, axis=0)
+    xs = []
+    for f in tower.features:
+        if f == feature_name:
+            xs.append(rows)
+        else:
+            dim = model_cfg.feature_table(f).embedding_dim
+            xs.append(jnp.zeros((rows.shape[0], dim), rows.dtype))
+    if tower.dense_dim:
+        xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype))
+    x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
+    return apply_mlp(tower_params, x, tower.activation, tower.final_activation,
+                     jnp.dtype(model_cfg.compute_dtype))
 
 
 def retrieval_metrics(
