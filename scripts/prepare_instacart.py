@@ -61,9 +61,14 @@ def main():
         idx = write_dataset(os.path.join(args.out, name), cols, args.rows_per_shard)
         print(f"{name}: {idx['total_rows']} rows, {len(idx['shards'])} shards")
 
+    # +1: table sizes INCLUDE the reserved id-0 missing sentinel — indices are
+    # 1-based up to len(mapping), so a table of exactly len(mapping) rows would
+    # alias the largest id onto row 0 via the modulo hash
     meta = {
-        "num_users": len(mappings["user_id"]),
-        "num_items": len(mappings["product_id"]),
+        "num_users": len(mappings["user_id"]) + 1,
+        "num_items": len(mappings["product_id"]) + 1,
+        "distinct_users": len(mappings["user_id"]),
+        "distinct_items": len(mappings["product_id"]),
         "seed": args.seed,
     }
     with open(os.path.join(args.out, "meta.json"), "w") as f:

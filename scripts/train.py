@@ -127,11 +127,13 @@ def main():
         os.path.join(args.data_dir, "train"), args.batch_size, seed=args.seed,
         host_index=host_index, num_hosts=num_hosts,
     )
+    start_epoch = 0
     if args.resume and ckpt is not None and ckpt.latest_step() is not None:
-        state, loader_state, _ = ckpt.restore(state)
-        if loader_state:
-            train_loader.load_state_dict(loader_state)
-        print(f"resumed from step {int(state.step)}")
+        state, loader_state, extra = ckpt.restore(state)
+        # checkpoints are taken at epoch boundaries: resume at the NEXT epoch
+        # (loader position within a truncated epoch is irrelevant there)
+        start_epoch = int(extra.get("completed_epoch", -1)) + 1
+        print(f"resumed from step {int(state.step)}, epoch {start_epoch}")
 
     def train_factory(epoch):
         train_loader.set_epoch(epoch)
@@ -147,7 +149,8 @@ def main():
 
     def checkpoint_fn(s, epoch):
         if ckpt is not None:
-            ckpt.save(int(s.step), s, loader_state=train_loader.state_dict(), wait=True)
+            ckpt.save(int(s.step), s, loader_state=train_loader.state_dict(),
+                      extra={"completed_epoch": epoch}, wait=True)
 
     state, results = train_val_test(
         state, train_step, eval_step, mcfg, tcfg, featurizer,
@@ -155,7 +158,7 @@ def main():
         val_batches_factory=eval_factory("val"),
         test_batches_factory=eval_factory("test"),
         logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
-        pad_multiple=n_devices if sharded else None,
+        pad_multiple=n_devices if sharded else None, start_epoch=start_epoch,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

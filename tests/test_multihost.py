@@ -122,3 +122,50 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_multihost_two_processes(tmp_path):
+    """scripts/train.py with --multi-host across 2 OS processes: per-host
+    disjoint streams assemble into global batches (the review-found
+    device_put-drops-data bug would silently train on half the data)."""
+    import json
+
+    from two_tower_recommender_model_tpu.data.shards import write_dataset
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+
+    ds = SyntheticClickstream(60, 40, seed=1)
+    for split, n in (("train", 2000), ("val", 400), ("test", 400)):
+        cols = ds.sample(n, split)
+        write_dataset(str(tmp_path / "data" / split), cols, rows_per_shard=256)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "scripts/train.py",
+             "--data-dir", str(tmp_path / "data"),
+             "--num-users", "61", "--num-items", "41",
+             "--epochs", "1", "--batch-size", "64",
+             "--embedding-dim", "8", "--layer-sizes", "16", "8",
+             "--limit-train-batches", "8", "--limit-val-batches", "2",
+             "--limit-test-batches", "2",
+             "--runs-root", str(tmp_path / f"runs{pid}")],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    assert "test_auroc" in outs[0]
+    # rank 0 prints the sharding plan; rank 1 does not
+    assert "EmbeddingShardingPlan" in outs[0] or "EmbeddingShardingPlan" in outs[1]

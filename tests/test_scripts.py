@@ -68,8 +68,8 @@ def test_prepare_then_train_then_export(csv_dir, tmp_path):
     r = _run([
         sys.executable, "scripts/train.py",
         "--data-dir", out,
-        "--num-users", str(meta["num_users"] + 1),
-        "--num-items", str(meta["num_items"] + 1),
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
         "--epochs", "1", "--batch-size", "64",
         "--embedding-dim", "8", "--layer-sizes", "16", "8",
         "--limit-train-batches", "10", "--limit-val-batches", "3",
@@ -95,3 +95,38 @@ def test_fetch_script_offline_message(tmp_path):
              PATH="/usr/bin:/bin")  # ensure no kaggle CLI
     assert r.returncode == 1
     assert "kaggle" in r.stderr.lower()
+
+
+def test_cli_resume_continues_from_epoch(csv_dir, tmp_path):
+    """--resume must continue from the checkpointed epoch, not replay from 0
+    (review finding: train_factory's set_epoch clobbered the restored
+    position)."""
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-1000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    ckpt = str(tmp_path / "ckpt")
+    base = [sys.executable, "scripts/train.py", "--data-dir", out,
+            "--num-users", str(meta["num_users"]), "--num-items", str(meta["num_items"]),
+            "--batch-size", "64", "--embedding-dim", "8", "--layer-sizes", "16", "8",
+            "--limit-train-batches", "5", "--limit-val-batches", "2",
+            "--limit-test-batches", "2", "--runs-root", str(tmp_path / "runs"),
+            "--checkpoint-dir", ckpt, "--no-shard"]
+    r = _run(base + ["--epochs", "1"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    r = _run(base + ["--epochs", "2", "--resume"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "resumed from step 5, epoch 1" in r.stdout, r.stdout[:400]
+    # only ONE additional epoch ran: final step counter is 10, not 15
+    from two_tower_recommender_model_tpu.utils.checkpoint import Checkpointer
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.train.step import create_train_state
+    import jax
+    mcfg = cfg_lib.two_tower_model_config(meta["num_users"], meta["num_items"],
+                                          embedding_dim=8, layer_sizes=(16, 8))
+    template, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    with Checkpointer(ckpt) as c:
+        restored, _, extra = c.restore(template)
+    assert int(restored.step) == 10
+    assert extra["completed_epoch"] == 1

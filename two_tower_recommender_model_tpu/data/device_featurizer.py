@@ -68,11 +68,17 @@ class PackedFeaturizer:
 
     @staticmethod
     def _fit_int32(col: np.ndarray, num_embeddings: int) -> np.ndarray:
-        """Raw ids beyond int32 are pre-hashed on host into an int32 value
-        that preserves both semantics the device recomputes: the modulo hash
-        (`v % N == raw % N`) and the missing-id mask (`v == 0  <=>  raw == 0`,
-        using N itself — which hashes to 0 — as the nonzero stand-in)."""
-        if col.dtype.itemsize <= 4 or not col.size or col.max(initial=0) <= np.iinfo(np.int32).max:
+        """Raw ids beyond int32 range (either side) are pre-hashed on host
+        into an int32 value that preserves both semantics the device
+        recomputes: the modulo hash (`v % N == raw % N`) and the missing-id
+        mask (`v == 0  <=>  raw == 0`, using N itself — which hashes to 0 —
+        as the nonzero stand-in)."""
+        info = np.iinfo(np.int32)
+        if (
+            col.dtype.itemsize <= 4
+            or not col.size
+            or (col.max(initial=0) <= info.max and col.min(initial=0) >= info.min)
+        ):
             return col
         v = col % num_embeddings
         return np.where((col != 0) & (v == 0), num_embeddings, v)

@@ -43,23 +43,39 @@ def sample_negatives(
     `02_feature_engineering.py:53-58`). Rejection-sampled vectorized."""
     rng = np.random.default_rng(seed)
     all_items = np.asarray(all_items)
+    unique_items = pd.unique(all_items)
     pos_sets = positives.groupby(user_col)[item_col].apply(set)
     users_out, items_out = [], []
     for user, pos_set in pos_sets.items():
         n = len(pos_set)
-        # rejection sampling with oversampling; guaranteed to terminate since
-        # |complement| >= 1 in any sane dataset
-        need = n
+        complement = len(unique_items) - len(pos_set & set(unique_items))
+        if complement <= 0:
+            raise ValueError(
+                f"user {user!r} has positives covering the whole catalog; "
+                "cannot sample distinct negatives"
+            )
+        # rejection sampling; dedupe every round against positives AND prior
+        # draws so the emitted (user, item) negatives are distinct pairs.
+        # Request count is capped by the complement size, so termination is
+        # guaranteed.
+        take_n = min(n, complement)
+        drawn: set = set()
         draws = []
+        need = take_n
         while need > 0:
             cand = rng.choice(all_items, size=max(2 * need, 8), replace=True)
-            cand = cand[~np.isin(cand, list(pos_set))]
-            cand = pd.unique(cand) if len(draws) == 0 else cand
-            take = cand[:need]
+            fresh = []
+            for c in pd.unique(cand):
+                if c not in pos_set and c not in drawn:
+                    fresh.append(c)
+                    drawn.add(c)
+                    if len(fresh) + (take_n - need) >= take_n:
+                        break
+            take = np.array(fresh[:need], dtype=all_items.dtype)
             draws.append(take)
             need -= len(take)
-        users_out.append(np.full(n, user))
-        items_out.append(np.concatenate(draws)[:n])
+        users_out.append(np.full(take_n, user))
+        items_out.append(np.concatenate(draws)[:take_n])
     neg = pd.DataFrame(
         {
             user_col: np.concatenate(users_out),

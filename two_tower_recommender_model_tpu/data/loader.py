@@ -75,6 +75,26 @@ class StreamLoader:
             return rows // self.batch_size
         return -(-rows // self.batch_size)
 
+    def _global_min_batches(self, epoch: int) -> int | None:
+        """In multi-host mode every host must dispatch the SAME number of
+        steps (each step contains cross-host collectives); with unequal shard
+        row counts, round-robin assignment can give hosts different batch
+        counts — truncate everyone to the global minimum or the fast hosts
+        would block forever inside a collective."""
+        if self.num_hosts <= 1:
+            return None
+        counts = []
+        order = np.arange(self.dataset.num_shards)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(order)
+        for h in range(self.num_hosts):
+            rows = sum(self.dataset.shard_row_counts[int(s)] for s in order[h :: self.num_hosts])
+            counts.append(
+                rows // self.batch_size if self.drop_last else -(-rows // self.batch_size)
+            )
+        return min(counts)
+
     # -- resume -----------------------------------------------------------
 
     def state_dict(self) -> dict:
@@ -131,6 +151,7 @@ class StreamLoader:
         epoch = self._epoch
         skip_batches = self._batches_yielded
         plan = self._epoch_plan(epoch)
+        max_batches = self._global_min_batches(epoch)
 
         # Fast-forward for resume: a batch never crosses shards in reverse, so
         # we can drop whole shards that were fully consumed.
@@ -172,10 +193,18 @@ class StreamLoader:
                     buf.setdefault(k, []).append(v[perm])
                 buf_rows += len(perm)
                 while buf_rows >= self.batch_size:
+                    if max_batches is not None and self._batches_yielded >= max_batches:
+                        self._epoch = epoch + 1  # truncated epoch still completes
+                        self._batches_yielded = 0
+                        return
                     batch, buf, buf_rows = _take(buf, buf_rows, self.batch_size)
                     self._batches_yielded += 1
                     yield batch
-            if buf_rows and not self.drop_last:
+            if (
+                buf_rows
+                and not self.drop_last
+                and (max_batches is None or self._batches_yielded < max_batches)
+            ):
                 batch, buf, buf_rows = _take(buf, buf_rows, buf_rows)
                 self._batches_yielded += 1
                 yield batch

@@ -58,7 +58,9 @@ def export_feature_embeddings(
     tower_params = jax.tree.map(jnp.asarray, params[tower_key])
     if ids is None:
         ids = np.arange(table_cfg.num_embeddings)
-    ids = np.asarray(ids)
+    # same modulo-hash as the training featurizer — raw ids outside [0, N)
+    # must hit the same row they trained on (jnp.take would clamp instead)
+    ids = np.asarray(ids) % table_cfg.num_embeddings
 
     bs = min(batch_size, len(ids))
     run_chunk = functools.partial(

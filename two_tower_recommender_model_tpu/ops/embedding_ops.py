@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_pallas_lookup() -> bool:
+    import os
+
+    return os.environ.get("TTRM_TPU_PALLAS_LOOKUP", "0") == "1"
+
+
 def pooled_lookup(
     table: jax.Array,  # [N, D]
     ids: jax.Array,  # [B, L] int32, already hashed into [0, N)
@@ -31,7 +37,18 @@ def pooled_lookup(
 ) -> jax.Array:  # [B, D]
     """Gather + masked pool. `mean` divides by the live-slot count (0-length
     bags pool to zero, matching the reference's dropped falsy ids,
-    `03_model_training.py:358-365`)."""
+    `03_model_training.py:358-365`). Set TTRM_TPU_PALLAS_LOOKUP=1 to route
+    through the Pallas fused kernel where shapes allow (XLA's gather measured
+    faster at training shapes, so it stays the default — DESIGN.md §6)."""
+    if _use_pallas_lookup():
+        from two_tower_recommender_model_tpu.ops.pallas_embedding import pooled_lookup_auto
+
+        w = mask.astype(jnp.float32)
+        if pooling == "mean":
+            counts = w.sum(axis=1, keepdims=True)
+            w = w / jnp.maximum(counts, 1.0)
+        out = pooled_lookup_auto(table, ids, w)
+        return out.astype(compute_dtype) if compute_dtype is not None else out
     emb = jnp.take(table, ids, axis=0)  # [B, L, D]
     if compute_dtype is not None:
         emb = emb.astype(compute_dtype)

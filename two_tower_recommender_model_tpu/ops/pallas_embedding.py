@@ -16,9 +16,13 @@ Design (see /opt/skills/guides/pallas_guide.md):
 - grid over batch tiles; each program pools TILE_B samples into its VMEM
   output block.
 
-`pooled_lookup_auto` picks this kernel on TPU for dims that satisfy the lane
-constraint (D % 128 == 0) and falls back to the XLA gather path elsewhere
-(CPU tests run the kernel in interpret mode).
+Status: measured on v5e, XLA's native dynamic-gather ties or beats this
+kernel at training shapes (it is already DMA-pipelined, and the mask-multiply
+-sum epilogue fuses), so the TRAINING PATH USES THE XLA LOOKUP — this kernel
+is an opt-in alternative (`pooled_lookup_auto`, or
+`TTRM_TPU_PALLAS_LOOKUP=1` to route `ops.embedding_ops.pooled_lookup`
+through it) and the substrate for future quantized-table variants. See
+DESIGN.md §6.
 """
 
 from __future__ import annotations

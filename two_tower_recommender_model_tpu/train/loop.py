@@ -68,6 +68,7 @@ def train_one_epoch(
     logger=None,
     epoch: int = 0,
     sharding=None,
+    pad_multiple: int | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     it = iter(batches)
     if train_cfg.limit_train_batches is not None:
@@ -90,7 +91,7 @@ def train_one_epoch(
         ):
             metrics = evaluate(
                 state, eval_step, val_batches_factory(), featurizer,
-                train_cfg.limit_val_batches, "val", sharding,
+                train_cfg.limit_val_batches, "val", sharding, pad_multiple,
             )
             log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
             if logger is not None:
@@ -122,7 +123,11 @@ def train_val_test(
     checkpoint_fn: Callable[[TrainState, int], None] | None = None,
     sharding=None,
     pad_multiple: int | None = None,
+    start_epoch: int = 0,
 ) -> tuple[TrainState, dict[str, float]]:
+    """`start_epoch` supports resume: epochs [start_epoch, epochs) run, so a
+    run restored from a mid-training checkpoint continues instead of
+    replaying from epoch 0."""
     results: dict[str, float] = {}
 
     metrics = evaluate(
@@ -134,10 +139,10 @@ def train_val_test(
     if logger is not None:
         logger.log_metrics(results, step=0)
 
-    for epoch in range(train_cfg.epochs):
+    for epoch in range(start_epoch, train_cfg.epochs):
         state, stats = train_one_epoch(
             state, train_step, train_batches_factory(epoch), featurizer, train_cfg,
-            eval_step, val_batches_factory, logger, epoch, sharding,
+            eval_step, val_batches_factory, logger, epoch, sharding, pad_multiple,
         )
         metrics = evaluate(
             state, eval_step, val_batches_factory(), featurizer,

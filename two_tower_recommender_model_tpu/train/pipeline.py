@@ -23,6 +23,14 @@ from two_tower_recommender_model_tpu.data.featurizer import Batch
 def device_put_batch(batch: Batch, sharding=None) -> Batch:
     if sharding is None:
         return jax.tree.map(jax.device_put, batch)
+    if jax.process_count() > 1:
+        # multi-host: this process holds only its LOCAL slice of the global
+        # batch; device_put with a cross-process sharding would treat the
+        # local array as the whole global value (silently dropping the other
+        # hosts' data) — assemble through process-local data instead
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding(x), x), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding(x)), batch)
 
 
