@@ -115,11 +115,18 @@ def main():
 
     logger = ExperimentLogger(args.runs_root) if jax.process_index() == 0 else None
     if logger:
+        from two_tower_recommender_model_tpu.parallel.mesh import topology_summary
+
+        topo = topology_summary()
+        # hyperparams + cluster metadata (the reference logs both,
+        # 03_model_training.py:765-767 and :947-955)
         logger.log_params({
             "num_users": args.num_users, "num_items": args.num_items,
             "embedding_dim": args.embedding_dim, "layer_sizes": args.layer_sizes,
             "batch_size": args.batch_size, "loss": args.loss,
             "devices": n_devices, "hosts": num_hosts,
+            "platform": topo.platform, "device_kind": topo.device_kind,
+            "devices_per_host": topo.devices_per_host,
         })
 
     ckpt = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None

@@ -89,3 +89,14 @@ def test_end_to_end_recall_beats_random():
     assert m["num_users"] == 120
     assert m["recall_at_10"] > 0.4, m  # random would be ~0.17
     assert 0 <= m["ndcg_at_10"] <= 1
+
+
+def test_per_user_retrieval_table():
+    from two_tower_recommender_model_tpu.evaluation.retrieval import per_user_retrieval_table
+
+    pred = np.array([[1, 2, 3], [9, 8, 7]])
+    users = np.array([10, 20])
+    df = per_user_retrieval_table(pred, users, [[1], [5]], ks=(3,))
+    assert list(df["user_id"]) == [10, 20]
+    np.testing.assert_allclose(df["recall_at_3"], [1.0, 0.0])
+    assert df.loc[0, "product_id_pred"] == [1, 2, 3]

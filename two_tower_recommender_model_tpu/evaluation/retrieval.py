@@ -153,3 +153,23 @@ def evaluate_retrieval(
     metrics = retrieval_metrics(pred_ids, [user_positives[u] for u in users], ks=ks)
     metrics["num_users"] = float(len(users))
     return metrics
+
+
+def per_user_retrieval_table(
+    pred_ids: np.ndarray, users: np.ndarray, targets: list, ks: tuple[int, ...] = (100,)
+):
+    """Per-user eval table (the reference's per-user results DataFrame,
+    `04_evaluate_retrieval.py:221-226`): one row per user with targets,
+    predictions and per-user metrics."""
+    import pandas as pd
+
+    rows = []
+    for u, preds, tgt in zip(users, np.asarray(pred_ids), targets):
+        m = retrieval_metrics(preds[None, :], [tgt], ks=ks)
+        rows.append({
+            "user_id": u,
+            "product_id_list": list(map(int, tgt)),
+            "product_id_pred": [int(p) for p in preds],
+            **m,
+        })
+    return pd.DataFrame(rows)
