@@ -1,0 +1,99 @@
+"""Int8 quantized tables: round-trip accuracy, lookup parity, training
+tracks f32, export dequantizes."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.ops.quantized import (
+    QuantizedTable,
+    dequantize_table,
+    quantize_table,
+    quantized_pooled_lookup,
+)
+from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
+from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    t = jnp.asarray(rng.normal(size=(50, 128)) * 0.3, jnp.float32)
+    qt = quantize_table(t)
+    assert qt.values.dtype == jnp.int8
+    back = dequantize_table(qt)
+    # error bounded by scale/254 per element
+    bound = np.asarray(qt.scales)[:, None] / 254.0 + 1e-7
+    assert (np.abs(np.asarray(back) - np.asarray(t)) <= bound).all()
+
+
+def test_zero_row_safe():
+    t = jnp.zeros((4, 8), jnp.float32)
+    qt = quantize_table(t)
+    np.testing.assert_array_equal(dequantize_table(qt), 0.0)
+
+
+def test_quantized_lookup_close_to_f32(rng):
+    t = jnp.asarray(rng.normal(size=(40, 16)) * 0.2, jnp.float32)
+    qt = quantize_table(t)
+    ids = jnp.asarray(rng.integers(0, 40, (8, 3)), jnp.int32)
+    w = jnp.asarray(rng.random((8, 3)), jnp.float32)
+    got = quantized_pooled_lookup(qt, ids, w)
+    want = (np.asarray(t)[np.asarray(ids)] * np.asarray(w)[..., None]).sum(1)
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+
+def test_int8_training_tracks_f32():
+    """table_dtype=int8 trains end to end; loss stays close to f32 over a
+    short horizon and tables remain int8 throughout."""
+    results = {}
+    for td in (None, "int8"):
+        mcfg = cfg_lib.two_tower_model_config(100, 60, 16, (32, 16))
+        if td:
+            mcfg = dataclasses.replace(mcfg, table_dtype=td)
+        tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05)
+        ds = SyntheticClickstream(100, 60, seed=0)
+        feat = Featurizer(mcfg)
+        state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+        step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+        for batch in prefetch_to_device(ds.batches(256, 25), feat):
+            state, out = step(state, batch)
+        if td == "int8":
+            assert isinstance(state.tables["t_user_id"], QuantizedTable)
+            assert state.tables["t_user_id"].values.dtype == jnp.int8
+        results[td] = float(out["loss"])
+    assert abs(results["int8"] - results[None]) < 0.03, results
+
+
+def test_int8_export_dequantizes(tmp_path):
+    from two_tower_recommender_model_tpu.serving import load_scorer
+    from two_tower_recommender_model_tpu.utils.checkpoint import export_model
+
+    mcfg = dataclasses.replace(
+        cfg_lib.two_tower_model_config(50, 30, 8, (16, 8)), table_dtype="int8")
+    state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    export_model(str(tmp_path / "m"), mcfg, state)
+    scorer = load_scorer(str(tmp_path / "m"))
+    p = scorer.predict({"user_id": [1, 2], "product_id": [3, 4]})
+    assert p.shape == (2,) and np.isfinite(p).all()
+
+
+def test_int8_sharded_guard():
+    from two_tower_recommender_model_tpu.parallel import make_mesh, plan_sharding, shard_train_state
+    from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+    import pytest
+
+    mcfg = dataclasses.replace(
+        cfg_lib.two_tower_model_config(50, 30, 8, (16, 8)), table_dtype="int8")
+    state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={"t_user_id": ROW_SHARDED,
+                                         "t_product_id": ROW_SHARDED})
+    with pytest.raises(NotImplementedError, match="replicated"):
+        shard_train_state(state, plan, mesh)
+    # replicated int8 works
+    plan_rep = plan_sharding(mcfg, 8)  # small tables -> replicated
+    sh = shard_train_state(state, plan_rep, mesh)
+    assert isinstance(sh.tables["t_user_id"], QuantizedTable)

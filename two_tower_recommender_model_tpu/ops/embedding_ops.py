@@ -39,7 +39,22 @@ def pooled_lookup(
     bags pool to zero, matching the reference's dropped falsy ids,
     `03_model_training.py:358-365`). Set TTRM_TPU_PALLAS_LOOKUP=1 to route
     through the Pallas fused kernel where shapes allow (XLA's gather measured
-    faster at training shapes, so it stays the default — DESIGN.md §6)."""
+    faster at training shapes, so it stays the default — DESIGN.md §6).
+    Accepts int8 `QuantizedTable` storage transparently."""
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        QuantizedTable,
+        quantized_pooled_lookup,
+    )
+
+    if isinstance(table, QuantizedTable):
+        w = mask.astype(jnp.float32)
+        if pooling == "mean":
+            counts = w.sum(axis=1, keepdims=True)
+            w = w / jnp.maximum(counts, 1.0)
+        elif pooling != "sum":
+            raise ValueError(f"unknown pooling {pooling!r}")
+        out = quantized_pooled_lookup(table, ids, w)
+        return out.astype(compute_dtype) if compute_dtype is not None else out
     if _use_pallas_lookup():
         from two_tower_recommender_model_tpu.ops.pallas_embedding import pooled_lookup_auto
 

@@ -63,11 +63,18 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     tables P((data, model), None) or replicated; dense params + opt state
     replicated. The materialize-on-device moment of `DistributedModelParallel`
     (`03_model_training.py:812-815`)."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
     rep = NamedSharding(mesh, P())
     tables, accs = {}, {}
     for name, spec in plan.specs.items():
         t = state.tables[name]
         a = state.adagrad_acc[name]
+        if isinstance(t, QuantizedTable) and spec.strategy != "replicated":
+            raise NotImplementedError(
+                f"int8 table {name!r}: only the replicated layout is supported "
+                "this round (force={'%s': 'replicated'})" % name
+            )
         if spec.strategy == ROW_SHARDED:
             pad = spec.padded_rows - t.shape[0]
             if pad:

@@ -68,6 +68,10 @@ def create_train_state(
     rng: jax.Array, model_cfg: ModelConfig, train_cfg: TrainConfig
 ) -> tuple[TrainState, optax.GradientTransformation]:
     params = two_tower.init_params(rng, model_cfg)
+    if model_cfg.resolved_table_dtype == "int8":
+        from two_tower_recommender_model_tpu.ops.quantized import quantize_table
+
+        params["tables"] = {k: quantize_table(v) for k, v in params["tables"].items()}
     dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
     dense_params = dense_param_tree(params)
     item_counts = None
@@ -153,10 +157,20 @@ def make_train_step(
         )
         new_dense = optax.apply_updates(state.dense_params, updates)
 
+        from two_tower_recommender_model_tpu.ops.quantized import (
+            QuantizedTable,
+            quantized_rowwise_adagrad,
+        )
+
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
         for tname, (fids, fgrads) in _table_flat_grads(model_cfg, batch, d_pooled).items():
-            new_tables[tname], new_acc[tname] = sparse_update(
+            upd = (
+                quantized_rowwise_adagrad
+                if isinstance(state.tables[tname], QuantizedTable)
+                else sparse_update
+            )
+            new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname],
                 state.adagrad_acc[tname],
                 fids,

@@ -91,8 +91,15 @@ def export_model(path: str, model_cfg, state: TrainState) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model_cfg), f, indent=1)
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        QuantizedTable,
+        dequantize_table,
+    )
+
     flat = {}
     for name, table in state.tables.items():
+        if isinstance(table, QuantizedTable):
+            table = dequantize_table(table)  # portable export is always f32
         flat[f"tables/{name}"] = np.asarray(table)
     for tower in ("query_tower", "candidate_tower"):
         for lname, layer in state.dense_params[tower].items():
