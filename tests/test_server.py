@@ -95,3 +95,47 @@ def test_batch_predict_ttrs(scorer, tmp_path, rng):
     out = ShardedDataset(str(tmp_path / "out"))
     preds = np.concatenate([out.read_shard(i)["prediction"] for i in range(out.num_shards)])
     assert preds.shape == (n,) and ((preds >= 0) & (preds <= 1)).all()
+
+
+def test_retrieve_endpoint(tmp_path, rng):
+    from two_tower_recommender_model_tpu.serving import RetrievalService
+    from two_tower_recommender_model_tpu.models.two_tower import init_params
+    from two_tower_recommender_model_tpu.evaluation.retrieval import export_feature_embeddings
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8)
+    params = init_params(jax.random.key(0), mcfg)
+    svc = RetrievalService(mcfg, params)
+    scorer = Scorer(mcfg, params)
+
+    # direct call matches brute force
+    items, scores = svc.retrieve([1, 7], k=5)
+    user_emb = export_feature_embeddings(params, mcfg, "user_id", ids=np.array([1, 7]))
+    item_emb = export_feature_embeddings(params, mcfg, "product_id")
+    brute = user_emb @ item_emb[1:].T
+    want = np.argsort(-brute, axis=1)[:, :5] + 1
+    got_scores = np.take_along_axis(brute, items - 1, 1)
+    want_scores = np.take_along_axis(brute, want - 1, 1)
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
+
+    with ModelServer(scorer, retrieval=svc) as srv:
+        out = _post_path(srv.url, "/retrieve", {"user_id": [1, 7], "k": 5})
+        assert len(out["items"]) == 2 and len(out["items"][0]) == 5
+        assert all(1 <= i <= 30 for i in out["items"][0])
+        # k out of range -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv.url, "/retrieve", {"user_id": [1], "k": 0})
+        assert e.value.code == 400
+        # /retrieve 404 when service absent
+    with ModelServer(scorer) as srv2:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv2.url, "/retrieve", {"user_id": [1], "k": 5})
+        assert e.value.code == 404
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path, json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())

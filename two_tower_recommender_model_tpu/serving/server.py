@@ -45,9 +45,12 @@ def _parse_payload(payload: dict) -> dict:
 
 class ModelServer:
     def __init__(self, scorer: Scorer, host: str = "127.0.0.1", port: int = 0,
-                 capture_path: str | None = None):
+                 capture_path: str | None = None, retrieval=None):
+        """`retrieval`: optional `RetrievalService` enabling POST /retrieve
+        (the Vector Search `similarity_search` REST role)."""
         self.scorer = scorer
         self.capture_path = capture_path
+        self.retrieval = retrieval
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,19 +72,29 @@ class ModelServer:
                     self._reply(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
-                if self.path != "/invocations":
-                    self._reply(404, {"error": f"unknown path {self.path}"})
-                    return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    inputs = _parse_payload(payload)
-                    preds = outer.scorer.predict(inputs).tolist()
-                    if outer.capture_path:
-                        with open(outer.capture_path, "a") as f:
-                            f.write(json.dumps({"ts": time.time(), "inputs": _jsonable(inputs),
-                                                "predictions": preds}) + "\n")
-                    self._reply(200, {"predictions": preds})
+                    if self.path == "/invocations":
+                        inputs = _parse_payload(payload)
+                        preds = outer.scorer.predict(inputs).tolist()
+                        if outer.capture_path:
+                            with open(outer.capture_path, "a") as f:
+                                f.write(json.dumps({"ts": time.time(),
+                                                    "inputs": _jsonable(inputs),
+                                                    "predictions": preds}) + "\n")
+                        self._reply(200, {"predictions": preds})
+                    elif self.path == "/retrieve":
+                        if outer.retrieval is None:
+                            self._reply(404, {"error": "no retrieval service configured"})
+                            return
+                        user_ids = payload["user_id"]
+                        k = int(payload.get("k", 100))
+                        items, scores = outer.retrieval.retrieve(user_ids, k=k)
+                        self._reply(200, {"items": items.tolist(),
+                                          "scores": scores.tolist()})
+                    else:
+                        self._reply(404, {"error": f"unknown path {self.path}"})
                 except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                 except Exception as e:  # model/runtime error
