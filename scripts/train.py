@@ -107,8 +107,7 @@ def main():
         state = shard_train_state(state, plan, mesh)
         train_step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan)
         eval_step = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
-        bs = batch_sharding(mesh)
-        sharding = bs
+        sharding = batch_sharding(mesh)
     else:
         train_step = make_train_step(mcfg, tcfg, dense_opt)
         eval_step = make_eval_step(mcfg, tcfg)

@@ -126,6 +126,9 @@ class ShardWriter:
         self._buf, self._buf_rows = {}, 0
 
     def close(self) -> dict:
+        if getattr(self, "_index", None) is not None:
+            return self._index  # idempotent: write_dataset closes via both
+            # the context manager and the explicit call
         self._flush()
         index = {
             "format": "ttrs",
@@ -135,6 +138,7 @@ class ShardWriter:
         }
         with open(os.path.join(self.out_dir, INDEX_NAME), "w") as f:
             json.dump(index, f, indent=1)
+        self._index = index
         return index
 
     def __enter__(self):

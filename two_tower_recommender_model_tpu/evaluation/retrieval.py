@@ -114,7 +114,7 @@ def retrieval_metrics(
         tgt = set(int(t) for t in tgt)
         if not tgt:
             continue
-        hits = np.array([1.0 if int(p) in tgt else 0.0 for p in preds])
+        hits = np.isin(preds, np.fromiter(tgt, dtype=np.int64)).astype(np.float64)
         first_hit = np.argmax(hits) if hits.any() else None
         out.setdefault("mrr", []).append(0.0 if first_hit is None else 1.0 / (first_hit + 1))
         for k in ks:

@@ -17,10 +17,15 @@ import jax
 import jax.numpy as jnp
 
 
+def bce_per_example(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Element-wise binary cross-entropy on logits (numerically stable form)."""
+    labels = labels.astype(logits.dtype)
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
 def bce_with_logits(logits: jax.Array, labels: jax.Array, weights: jax.Array | None = None) -> jax.Array:
     """Mean binary cross-entropy on logits (numerically stable form)."""
-    labels = labels.astype(logits.dtype)
-    per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    per = bce_per_example(logits, labels)
     if weights is not None:
         per = per * weights.astype(per.dtype)
         return per.sum() / jnp.maximum(weights.sum(), 1.0)

@@ -40,11 +40,16 @@ class QuantizedTable:
         return self.values.dtype
 
 
-def quantize_table(table: jax.Array) -> QuantizedTable:
-    table = table.astype(jnp.float32)
-    scales = jnp.max(jnp.abs(table), axis=1)
+def _quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(int8 values, f32 absmax scales) for a row block."""
+    scales = jnp.max(jnp.abs(rows), axis=1)
     denom = jnp.where(scales > 0, scales, 1.0)
-    q = jnp.clip(jnp.round(table / denom[:, None] * 127.0), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(rows / denom[:, None] * 127.0), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def quantize_table(table: jax.Array) -> QuantizedTable:
+    q, scales = _quantize_rows(table.astype(jnp.float32))
     return QuantizedTable(values=q, scales=scales)
 
 
@@ -73,17 +78,10 @@ def quantized_rowwise_adagrad(
 ) -> tuple[QuantizedTable, jax.Array]:
     """Row-wise Adagrad on int8 storage: dequantize touched rows, f32 update,
     re-quantize. Same sorted-segment aggregation as the f32 path."""
+    from two_tower_recommender_model_tpu.train.optimizer import aggregate_grads_by_row
+
     n, d = qt.values.shape
-    m = flat_ids.shape[0]
-    order = jnp.argsort(flat_ids)
-    sids = flat_ids[order]
-    sg = flat_grads[order].astype(jnp.float32)
-    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(starts) - 1
-    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)
-    rep = jax.ops.segment_max(sids, seg, num_segments=m)
-    valid = (rep >= 0) & (rep < n)
-    safe = jnp.where(valid, rep, 0)
+    g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads, n)
 
     rows_q = qt.values[safe].astype(jnp.float32)
     row_scales = qt.scales[safe]
@@ -93,9 +91,7 @@ def quantized_rowwise_adagrad(
     new_acc_rows = acc_rows + g2
     new_rows = rows - lr * g_seg / (jnp.sqrt(new_acc_rows) + eps)[:, None]
 
-    new_scales = jnp.max(jnp.abs(new_rows), axis=1)
-    denom = jnp.where(new_scales > 0, new_scales, 1.0)
-    new_q = jnp.clip(jnp.round(new_rows / denom[:, None] * 127.0), -127, 127).astype(jnp.int8)
+    new_q, new_scales = _quantize_rows(new_rows)
 
     scatter_idx = jnp.where(valid, rep, n)
     return (

@@ -40,6 +40,7 @@ from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_up
 from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
 from two_tower_recommender_model_tpu.parallel.planner import (
     COLUMN_SHARDED,
+    REPLICATED,
     ROW_SHARDED,
     ShardingPlan,
 )
@@ -70,7 +71,7 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     for name, spec in plan.specs.items():
         t = state.tables[name]
         a = state.adagrad_acc[name]
-        if isinstance(t, QuantizedTable) and spec.strategy != "replicated":
+        if isinstance(t, QuantizedTable) and spec.strategy != REPLICATED:
             raise NotImplementedError(
                 f"int8 table {name!r}: only the replicated layout is supported "
                 "this round (force={'%s': 'replicated'})" % name
@@ -451,10 +452,9 @@ def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh,
         if w is None:
             n = jnp.float32(batch.labels.shape[0])
         else:
-            per = jnp.maximum(logits, 0) - logits * batch.labels.astype(logits.dtype) \
-                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            # zero-weight rows are padding: re-average the loss over real rows
             n = w.sum()
-            loss = (per * w).sum() / jnp.maximum(n, 1.0)
+            loss = losses_lib.bce_with_logits(logits, batch.labels, w)
         return EvalState(
             auroc=auroc_update(eval_state.auroc, logits, batch.labels, w),
             loss=mean_update(eval_state.loss, loss, n),

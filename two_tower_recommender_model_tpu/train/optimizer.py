@@ -39,6 +39,28 @@ def row_grad_flatten(
     return flat_ids, flat_g
 
 
+def aggregate_grads_by_row(
+    flat_ids: jax.Array,  # [M] (sentinel >= n for dead slots)
+    flat_grads: jax.Array,  # [M, D]
+    n: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort ids and segment-sum duplicate occurrences (fbgemm gradient-
+    aggregation semantics). Returns (g_seg [M, D], rep [M] row id per segment,
+    valid [M], safe [M] in-range gather index) — shared prologue of every
+    fused sparse-update variant."""
+    m = flat_ids.shape[0]
+    order = jnp.argsort(flat_ids)
+    sids = flat_ids[order]
+    sg = flat_grads[order].astype(jnp.float32)
+    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(starts) - 1  # [M], values in [0, M)
+    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)  # [M, D]
+    rep = jax.ops.segment_max(sids, seg, num_segments=m)  # row id (or int min for empty)
+    valid = (rep >= 0) & (rep < n)
+    safe = jnp.where(valid, rep, 0)
+    return g_seg, rep, valid, safe
+
+
 def sparse_rowwise_adagrad(
     table: jax.Array,  # [N, D]
     acc: jax.Array,  # [N]
@@ -48,18 +70,7 @@ def sparse_rowwise_adagrad(
     eps: float = 1e-10,
 ) -> tuple[jax.Array, jax.Array]:
     n, d = table.shape
-    m = flat_ids.shape[0]
-    order = jnp.argsort(flat_ids)
-    sids = flat_ids[order]
-    sg = flat_grads[order].astype(jnp.float32)
-    # Segment per distinct id: duplicate occurrences aggregate before the
-    # accumulator update (fbgemm gradient-aggregation semantics).
-    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(starts) - 1  # [M], values in [0, M)
-    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)  # [M, D]
-    rep = jax.ops.segment_max(sids, seg, num_segments=m)  # row id per segment (or N / int32 min for empty)
-    valid = (rep >= 0) & (rep < n)
-    safe = jnp.where(valid, rep, 0)
+    g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads, n)
 
     rows = table[safe].astype(jnp.float32)
     acc_rows = acc[safe].astype(jnp.float32)
@@ -114,16 +125,7 @@ def sparse_rowwise_adagrad_columns(
     Deterministic given sorted ids, so the replicated accumulator stays in
     sync across shards."""
     n, d_local = table_cols.shape
-    m = flat_ids.shape[0]
-    order = jnp.argsort(flat_ids)
-    sids = flat_ids[order]
-    sg = flat_grads_cols[order].astype(jnp.float32)
-    starts = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(starts) - 1
-    g_seg = jax.ops.segment_sum(sg, seg, num_segments=m)
-    rep = jax.ops.segment_max(sids, seg, num_segments=m)
-    valid = (rep >= 0) & (rep < n)
-    safe = jnp.where(valid, rep, 0)
+    g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads_cols, n)
 
     g2_local = jnp.sum(g_seg * g_seg, axis=1)  # partial sum over local columns
     if psum_axis is not None:

@@ -247,10 +247,8 @@ def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig):
             n = jnp.float32(batch.labels.shape[0])
         else:
             # zero-weight rows are padding: re-average the loss over real rows
-            per = jnp.maximum(logits, 0) - logits * batch.labels.astype(logits.dtype) \
-                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
             n = w.sum()
-            loss = (per * w).sum() / jnp.maximum(n, 1.0)
+            loss = losses_lib.bce_with_logits(logits, batch.labels, w)
         return EvalState(
             auroc=auroc_update(eval_state.auroc, logits, batch.labels, w),
             loss=mean_update(eval_state.loss, loss, n),
