@@ -179,3 +179,20 @@ def test_launch_helpers():
     assert info["process_count"] == 1 and info["global_devices"] == 8
     assert per_host_loader_slice() == (0, 1)
     assert global_batch_slice(1024) == 1024
+
+
+def test_ranker_train_step_api(mcfg, rng):
+    from two_tower_recommender_model_tpu.models.concat_mlp import make_ranker_train_step
+    from two_tower_recommender_model_tpu.train.pipeline import prefetch_to_device
+
+    step, init_fn = make_ranker_train_step(mcfg, learning_rate=1e-2, dropout_rate=0.2,
+                                           donate=False)
+    state = init_fn(jax.random.key(0), hidden_sizes=(32, 16))
+    ds = SyntheticClickstream(50, 30, seed=0)
+    feat = Featurizer(mcfg)
+    losses = []
+    for batch in prefetch_to_device(ds.batches(128, 30), feat):
+        state, out = step(state, batch)
+        losses.append(float(out["loss"]))
+    assert int(state["step"]) == 30
+    assert losses[-1] < losses[0]

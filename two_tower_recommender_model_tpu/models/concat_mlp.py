@@ -74,3 +74,44 @@ def ranker_forward(
                 )
                 x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
     return x[:, 0]
+
+
+def make_ranker_train_step(cfg: ModelConfig, learning_rate: float = 1e-3,
+                           dropout_rate: float = 0.0, donate: bool = True):
+    """Composer-parity training for the ranker: ONE Adam over everything via
+    plain autodiff (the reference's Composer stack trains its dense replicated
+    `nn.Embedding` model exactly this way with `DecoupledAdamW`,
+    `pytorch-model-training.py:563-575`) — appropriate for the small
+    replicated tables this family targets. Returns (train_step, init_fn).
+    State: (params, opt_state, step, rng)."""
+    import optax
+
+    from two_tower_recommender_model_tpu.models.losses import bce_with_logits
+
+    opt = optax.adam(learning_rate)
+
+    def init_fn(rng, hidden_sizes=(128, 64)):
+        params = init_ranker_params(rng, cfg, hidden_sizes)
+        return {"params": params, "opt_state": opt.init(params),
+                "step": jnp.zeros((), jnp.int32), "rng": rng}
+
+    def step(state, batch):
+        drop_rng = (
+            jax.random.fold_in(state["rng"], state["step"]) if dropout_rate > 0 else None
+        )
+
+        def loss_of(params):
+            logits = ranker_forward(params, batch, cfg, dropout_rate, drop_rng)
+            return bce_with_logits(logits, batch.labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(state["params"])
+        updates, opt_state = opt.update(grads, state["opt_state"], state["params"])
+        new_state = {
+            "params": optax.apply_updates(state["params"], updates),
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "rng": state["rng"],
+        }
+        return new_state, {"loss": loss, "logits": logits}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ()), init_fn
