@@ -20,7 +20,6 @@ autodiff graph, and stage C touches only the rows present in the batch.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import flax.struct

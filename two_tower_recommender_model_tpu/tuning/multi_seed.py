@@ -17,9 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
-from two_tower_recommender_model_tpu.data.featurizer import Batch, Featurizer
+from two_tower_recommender_model_tpu.data.featurizer import Featurizer
 from two_tower_recommender_model_tpu.models import two_tower
-from two_tower_recommender_model_tpu.models.losses import make_loss_fn
 from two_tower_recommender_model_tpu.models.metrics import exact_auroc
 from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
 
