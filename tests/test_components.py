@@ -196,3 +196,45 @@ def test_ranker_train_step_api(mcfg, rng):
         losses.append(float(out["loss"]))
     assert int(state["step"]) == 30
     assert losses[-1] < losses[0]
+
+
+def test_profile_trace_writes(tmp_path):
+    from two_tower_recommender_model_tpu.utils.profiling import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        _ = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found  # some trace artifact was written
+
+
+def test_batch_predict_parquet_input(tmp_path, rng):
+    from two_tower_recommender_model_tpu.models.two_tower import init_params
+    from two_tower_recommender_model_tpu.serving import Scorer
+    from two_tower_recommender_model_tpu.serving.batch import batch_predict
+    from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+
+    mcfg2 = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8)
+    scorer = Scorer(mcfg2, init_params(jax.random.key(0), mcfg2))
+    cols = {"user_id": rng.integers(1, 50, 300), "product_id": rng.integers(1, 30, 300),
+            "label": rng.integers(0, 2, 300)}
+    write_parquet_dataset(str(tmp_path / "pq"), cols, rows_per_file=128)
+    idx = batch_predict(scorer, str(tmp_path / "pq"), str(tmp_path / "out"),
+                        batch_size=64, input_format="parquet")
+    assert idx["total_rows"] == 300
+    out = ShardedDataset(str(tmp_path / "out"))
+    preds = np.concatenate([out.read_shard(i)["prediction"] for i in range(out.num_shards)])
+    assert ((preds >= 0) & (preds <= 1)).all()
+
+
+def test_loader_column_projection(tmp_path, rng):
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+    from two_tower_recommender_model_tpu.data.shards import write_dataset
+
+    write_dataset(str(tmp_path / "ds"), {"a": np.arange(100), "b": np.arange(100) * 2,
+                                         "label": np.zeros(100)}, rows_per_shard=40)
+    loader = StreamLoader(str(tmp_path / "ds"), 25, shuffle=False, columns=["a", "label"])
+    batch = next(iter(loader))
+    assert set(batch) == {"a", "label"}

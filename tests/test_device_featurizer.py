@@ -196,3 +196,23 @@ def test_prefetch_multiworker_order_preserved(mcfg, rng):
     assert len(a) == len(b) == 12
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_macro_stream_groups_and_trains(mcfg):
+    from two_tower_recommender_model_tpu.train.pipeline import macro_stream, prefetch_to_device
+    from two_tower_recommender_model_tpu.train.step import make_multi_step
+
+    tcfg = cfg_lib.TrainConfig()
+    ds = SyntheticClickstream(100, 60, seed=3)
+    pf = PackedFeaturizer(mcfg)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg)), donate=False)
+    macros = list(prefetch_to_device(
+        macro_stream(ds.batches(64, 7), pf, k=3), lambda x: x))
+    assert len(macros) == 2  # 7 batches -> 2 full macros, partial dropped
+    assert macros[0].ids_raw.shape == (3, 64, 2)
+    for mb in macros:
+        state, out = multi(state, mb)
+    assert int(state.step) == 6
+    assert np.isfinite(np.asarray(out["loss"])).all()

@@ -115,3 +115,18 @@ def prefetch_to_device(
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def macro_stream(columns_iter: Iterable[dict], packed_featurizer, k: int):
+    """Group a per-batch column stream into K-deep macro-batches for
+    `train.step.make_multi_step` (leading axis K on every leaf) — the
+    bench-proven pattern that amortizes transfer + dispatch latency. Drops a
+    trailing partial group (macro shapes must stay static under jit)."""
+    from two_tower_recommender_model_tpu.train.step import stack_batches
+
+    group = []
+    for cols in columns_iter:
+        group.append(packed_featurizer(cols))
+        if len(group) == k:
+            yield stack_batches(group)
+            group = []
