@@ -32,7 +32,12 @@ class SyntheticClickstream:
         latent_dim: int = 16,
         seed: int = 0,
         noise: float = 0.25,
+        popularity: float = 0.0,
     ):
+        """`popularity > 0` gives items a Zipf-like draw distribution with
+        exponent `popularity` for the positive-candidate pool (real catalogs
+        are heavy-tailed; the resulting popularity signal is what makes
+        held-out pairs predictable at low observations-per-user)."""
         self.num_users = num_users
         self.num_items = num_items
         rng = np.random.default_rng(seed)
@@ -43,6 +48,20 @@ class SyntheticClickstream:
         self.latent_dim = latent_dim
         self.noise = noise
         self.seed = seed
+        self.popularity = popularity
+        if popularity > 0:
+            ranks = np.arange(1, num_items + 1, dtype=np.float64)
+            w = ranks ** (-popularity)
+            # random rank assignment so item id does not encode popularity
+            w = w[rng.permutation(num_items)]
+            self._item_probs = w / w.sum()
+        else:
+            self._item_probs = None
+
+    def _draw_items(self, rng, size):
+        if self._item_probs is None:
+            return rng.integers(1, self.num_items + 1, size=size)
+        return rng.choice(self.num_items, size=size, p=self._item_probs) + 1
 
     def _affinity(self, users: np.ndarray, items: np.ndarray) -> np.ndarray:
         return np.einsum("bd,bd->b", self._user_latent[users], self._item_latent[items])
@@ -57,9 +76,10 @@ class SyntheticClickstream:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, split_key, start]))
         users = rng.integers(1, self.num_users + 1, size=n)
         # Candidate pool per row; pick argmax-affinity among k candidates for
-        # positives => preference-correlated positives.
+        # positives => preference-correlated positives (popularity-weighted
+        # candidates when configured => popular items are bought more).
         k = 8
-        cands = rng.integers(1, self.num_items + 1, size=(n, k))
+        cands = self._draw_items(rng, (n, k))
         aff = np.einsum("bd,bkd->bk", self._user_latent[users], self._item_latent[cands])
         aff += rng.normal(scale=self.noise, size=aff.shape).astype(np.float32)
         pos_items = cands[np.arange(n), aff.argmax(axis=1)]
