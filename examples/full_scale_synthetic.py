@@ -37,10 +37,11 @@ def main(work: str | None = None) -> dict:
     from two_tower_recommender_model_tpu.data.loader import StreamLoader
     from two_tower_recommender_model_tpu.data.shards import write_dataset
     from two_tower_recommender_model_tpu.evaluation import evaluate_retrieval
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedFeaturizer, unpack_batch)
     from two_tower_recommender_model_tpu.train import (
-        create_train_state, evaluate, make_eval_step, make_train_step)
-    from two_tower_recommender_model_tpu.train.loop import train_one_epoch
-    from two_tower_recommender_model_tpu.utils.profiling import StepTimer
+        create_train_state, evaluate, make_eval_step, make_multi_step, make_train_step)
+    from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
 
     work = work or tempfile.mkdtemp(prefix="full_scale_")
     N_USERS, N_ITEMS = 206_209, 49_688
@@ -79,16 +80,17 @@ def main(work: str | None = None) -> dict:
     tcfg = cfg.TrainConfig(epochs=8, batch_size=65_536, sparse_learning_rate=0.2,
                            learning_rate=3e-3, limit_val_batches=8)
     feat = Featurizer(mcfg)
+    pf = PackedFeaturizer(mcfg, pack_label=True)
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
-    tstep = make_train_step(mcfg, tcfg, dense_opt)
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
     estep = make_eval_step(mcfg, tcfg)
 
-    timer = StepTimer()
     results = {}
     for epoch in range(tcfg.epochs):
         loader = StreamLoader(os.path.join(work, "train"), tcfg.batch_size, seed=1)
         loader.set_epoch(epoch)
-        state, stats = train_one_epoch(state, tstep, loader, feat, tcfg, epoch=epoch)
+        state, stats = train_one_epoch_packed(state, multi, loader, pf, macro=16)
         print(f"  epoch {epoch}: {stats['train_examples']} examples, "
               f"{stats['epoch_time_s']:.2f}s, {stats['examples_per_sec']/1e6:.1f}M ex/s",
               flush=True)

@@ -165,3 +165,42 @@ def train_val_test(
     if logger is not None:
         logger.log_metrics(metrics, step=int(state.step))
     return state, results
+
+
+def train_one_epoch_packed(
+    state: TrainState,
+    multi_step: Callable,
+    batches: Iterable[dict],
+    packed_featurizer,
+    macro: int = 16,
+    prefetch: int = 2,
+) -> tuple[TrainState, dict[str, float]]:
+    """High-throughput epoch: packed device-side featurization + K-step
+    macro-batches through `make_multi_step` (the bench-proven fast feed).
+    `batches` must yield uniform-size column dicts (drop_last loaders);
+    a trailing partial macro is dropped."""
+    import jax
+
+    from two_tower_recommender_model_tpu.train.pipeline import macro_stream
+
+    steps = 0
+    examples = 0
+    t0 = time.perf_counter()
+    out = None
+    for mb in pipeline_lib.prefetch_to_device(
+        macro_stream(batches, packed_featurizer, macro), lambda x: x, prefetch=prefetch
+    ):
+        state, out = multi_step(state, mb)
+        k, b = mb.ids_raw.shape[:2]
+        steps += k
+        examples += k * b
+    if out is not None:
+        jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    return state, {
+        "train_steps": steps,
+        "train_examples": examples,
+        "train_loss": float(out["loss"][-1]) if out is not None else float("nan"),
+        "examples_per_sec": examples / dt if dt > 0 else 0.0,
+        "epoch_time_s": dt,
+    }
