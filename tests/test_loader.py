@@ -99,3 +99,11 @@ def test_resume_state_mismatch_rejected(dataset):
 def test_batches_per_epoch(dataset):
     assert StreamLoader(dataset, 64).batches_per_epoch() == 15
     assert StreamLoader(dataset, 64, drop_last=False).batches_per_epoch() == 16
+
+
+def test_read_workers_deterministic(dataset):
+    a = _collect(StreamLoader(dataset, 64, seed=3, read_workers=4))
+    b = _collect(StreamLoader(dataset, 64, seed=3, read_workers=1))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["row_id"], y["row_id"])

@@ -18,6 +18,7 @@ sliced into batches (the host-side half of the reference's
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from typing import Iterator
@@ -39,7 +40,11 @@ class StreamLoader:
         drop_last: bool = True,
         prefetch_shards: int = 2,
         columns: list[str] | None = None,
+        read_workers: int = 1,
     ):
+        """`read_workers > 1` decodes shards concurrently (order preserved;
+        zlib inflate in the native reader releases the GIL, so workers scale).
+        Determinism is unaffected — the visit order is fixed by the plan."""
         self.dataset = ShardedDataset(dataset) if isinstance(dataset, str) else dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +54,7 @@ class StreamLoader:
         self.drop_last = drop_last
         self.prefetch_shards = prefetch_shards
         self.columns = columns
+        self.read_workers = read_workers
         self._epoch = 0
         self._batches_yielded = 0  # within current epoch
 
@@ -123,6 +129,41 @@ class StreamLoader:
 
     # -- iteration --------------------------------------------------------
 
+    def _shard_reader_pool(self, plan: list[int], out: queue.Queue, stop: threading.Event):
+        """Multi-worker variant: decode up to `read_workers` shards ahead,
+        emit in plan order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        pool = ThreadPoolExecutor(max_workers=self.read_workers)
+        try:
+            futures = collections.deque()
+            for s in plan:
+                if stop.is_set():
+                    return
+                futures.append((s, pool.submit(self.dataset.read_shard, s, self.columns)))
+                while len(futures) > self.read_workers:
+                    s0, f = futures.popleft()
+                    if not put((s0, f.result())):
+                        return
+            while futures:
+                s0, f = futures.popleft()
+                if not put((s0, f.result())):
+                    return
+        except BaseException as e:
+            put(e)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+            put(None)
+
     def _shard_reader(self, plan: list[int], out: queue.Queue, stop: threading.Event):
         def put(item) -> bool:
             # bounded-queue put that gives up when the consumer abandoned the
@@ -169,9 +210,8 @@ class StreamLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_shards)
         stop = threading.Event()
-        t = threading.Thread(
-            target=self._shard_reader, args=(plan[start_idx:], q, stop), daemon=True
-        )
+        reader = self._shard_reader_pool if self.read_workers > 1 else self._shard_reader
+        t = threading.Thread(target=reader, args=(plan[start_idx:], q, stop), daemon=True)
         t.start()
 
         buf: dict[str, list[np.ndarray]] = {}
