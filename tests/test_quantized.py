@@ -80,20 +80,62 @@ def test_int8_export_dequantizes(tmp_path):
     assert p.shape == (2,) and np.isfinite(p).all()
 
 
-def test_int8_sharded_guard():
+def test_int8_column_sharded_guard():
+    """Column sharding is incompatible with per-row scales; clear error."""
     from two_tower_recommender_model_tpu.parallel import make_mesh, plan_sharding, shard_train_state
-    from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+    from two_tower_recommender_model_tpu.parallel.planner import COLUMN_SHARDED
     import pytest
 
     mcfg = dataclasses.replace(
         cfg_lib.two_tower_model_config(50, 30, 8, (16, 8)), table_dtype="int8")
     state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
     mesh = make_mesh(8, 1)
-    plan = plan_sharding(mcfg, 8, force={"t_user_id": ROW_SHARDED,
-                                         "t_product_id": ROW_SHARDED})
-    with pytest.raises(NotImplementedError, match="replicated"):
+    plan = plan_sharding(mcfg, 8, force={"t_user_id": COLUMN_SHARDED,
+                                         "t_product_id": COLUMN_SHARDED})
+    with pytest.raises(NotImplementedError, match="scales"):
         shard_train_state(state, plan, mesh)
     # replicated int8 works
     plan_rep = plan_sharding(mcfg, 8)  # small tables -> replicated
     sh = shard_train_state(state, plan_rep, mesh)
     assert isinstance(sh.tables["t_user_id"], QuantizedTable)
+
+
+def test_int8_row_sharded_matches_single_device():
+    """int8 tables row-sharded over 8 devices == single-device int8 training."""
+    from two_tower_recommender_model_tpu.parallel import (
+        batch_sharding, make_mesh, make_sharded_train_step, plan_sharding,
+        shard_train_state)
+    from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+    from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+    import jax
+
+    mcfg = dataclasses.replace(
+        cfg_lib.two_tower_model_config(100, 60, 16, (32, 8)), table_dtype="int8")
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05)
+    ds = SyntheticClickstream(100, 60, seed=2)
+    feat = Featurizer(mcfg)
+    batches = [jax.tree.map(jnp.asarray, feat(ds.sample(64, start=i))) for i in range(3)]
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={"t_user_id": ROW_SHARDED,
+                                         "t_product_id": ROW_SHARDED})
+    sh_state = shard_train_state(state, plan, mesh)
+    assert isinstance(sh_state.tables["t_user_id"], QuantizedTable)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    sh = batch_sharding(mesh)
+    for b in batches:
+        sh_state, out = step(sh_state, jax.tree.map(lambda x: jax.device_put(x, sh(x)), b))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_array_equal(np.asarray(gathered.tables[name].values),
+                                      np.asarray(ref_state.tables[name].values))
+        np.testing.assert_allclose(np.asarray(gathered.tables[name].scales),
+                                   np.asarray(ref_state.tables[name].scales), rtol=1e-5)

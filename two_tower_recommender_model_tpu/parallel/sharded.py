@@ -71,12 +71,28 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     for name, spec in plan.specs.items():
         t = state.tables[name]
         a = state.adagrad_acc[name]
-        if isinstance(t, QuantizedTable) and spec.strategy != REPLICATED:
+        if isinstance(t, QuantizedTable) and spec.strategy == COLUMN_SHARDED:
             raise NotImplementedError(
-                f"int8 table {name!r}: only the replicated layout is supported "
-                "this round (force={'%s': 'replicated'})" % name
+                f"int8 table {name!r}: per-row scales do not split by columns; "
+                "use row_sharded or replicated"
             )
-        if spec.strategy == ROW_SHARDED:
+        if spec.strategy == ROW_SHARDED and isinstance(t, QuantizedTable):
+            pad = spec.padded_rows - t.values.shape[0]
+            if pad:
+                t = QuantizedTable(
+                    values=jnp.pad(t.values, ((0, pad), (0, 0))),
+                    scales=jnp.pad(t.scales, (0, pad)),
+                )
+                a = jnp.pad(a, (0, pad))
+            tables[name] = jax.device_put(
+                t,
+                QuantizedTable(
+                    values=NamedSharding(mesh, P(FLAT_AXES, None)),
+                    scales=NamedSharding(mesh, P(FLAT_AXES)),
+                ),
+            )
+            accs[name] = jax.device_put(a, NamedSharding(mesh, P(FLAT_AXES)))
+        elif spec.strategy == ROW_SHARDED:
             pad = spec.padded_rows - t.shape[0]
             if pad:
                 t = jnp.pad(t, ((0, pad), (0, 0)))
@@ -124,7 +140,14 @@ def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelC
     `ShardedTensor.gather` to rank 0 for checkpointing,
     `03_model_training.py:474-495`)."""
     def unpad(name, arr):
+        from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
         t = model_cfg.table(name)
+        if isinstance(arr, QuantizedTable):
+            return QuantizedTable(
+                values=_to_host(arr.values)[: t.num_embeddings],
+                scales=_to_host(arr.scales)[: t.num_embeddings],
+            )
         out = _to_host(arr)[: t.num_embeddings]
         if out.ndim == 2 and out.shape[1] > t.embedding_dim:
             out = out[:, : t.embedding_dim]
@@ -222,13 +245,22 @@ def make_replicated_update(mesh, lr: float, eps: float):
         check_vma=False,
     )
     def update(table, acc, ids, w, row_g):
+        from two_tower_recommender_model_tpu.ops.quantized import (
+            QuantizedTable,
+            quantized_rowwise_adagrad,
+        )
+
         ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
         w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
         g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
         n = table.shape[0]
         flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
         flat_g = g_all.reshape(-1, g_all.shape[-1])
-        return opt_lib.sparse_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
+        upd = (
+            quantized_rowwise_adagrad if isinstance(table, QuantizedTable)
+            else opt_lib.sparse_rowwise_adagrad
+        )
+        return upd(table, acc, flat_ids, flat_g, lr, eps)
 
     return update
 
@@ -310,8 +342,14 @@ def _local_weighted_pool(table, ids, w):
 
 
 def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        QuantizedTable,
+        quantized_pooled_lookup,
+    )
+
     lookup = make_sharded_lookup(mesh)
     col_lookup = make_column_lookup(mesh)
+    q_lookup = make_quantized_sharded_lookup(mesh)
 
     def pooled_embeddings(tables, batch: Batch):
         pooled, weights = {}, {}
@@ -320,7 +358,13 @@ def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
             w = _pool_weights(fc, feat)
             weights[fc.name] = w
             spec = plan[fc.table]
-            if spec.strategy == ROW_SHARDED:
+            table = tables[fc.table]
+            if isinstance(table, QuantizedTable):
+                if spec.strategy == ROW_SHARDED:
+                    pooled[fc.name] = q_lookup(table, feat.ids, w)
+                else:  # replicated
+                    pooled[fc.name] = quantized_pooled_lookup(table, feat.ids, w)
+            elif spec.strategy == ROW_SHARDED:
                 pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
             elif spec.strategy == COLUMN_SHARDED:
                 out = col_lookup(tables[fc.table], feat.ids, w)
@@ -369,6 +413,9 @@ def make_sharded_train_step(
         for t in model_cfg.tables
         if plan[t.name].strategy == COLUMN_SHARDED
     }
+    q_sharded_update = make_quantized_sharded_update(
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+    )
 
     cand_feature = model_cfg.candidate_tower.features[0]
 
@@ -412,7 +459,10 @@ def make_sharded_train_step(
             ids = jnp.concatenate([p[0] for p in parts], axis=1)
             w = jnp.concatenate([p[1] for p in parts], axis=1)
             row_g = jnp.concatenate([p[2] for p in parts], axis=1)
+            from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
             spec = plan[tname]
+            quantized = isinstance(state.tables[tname], QuantizedTable)
             if spec.strategy == COLUMN_SHARDED:
                 if spec.padded_dim > spec.embedding_dim:
                     row_g = jnp.pad(
@@ -420,7 +470,7 @@ def make_sharded_train_step(
                     )
                 upd = column_updates[tname]
             elif spec.strategy == ROW_SHARDED:
-                upd = sharded_update
+                upd = q_sharded_update if quantized else sharded_update
             else:
                 upd = replicated_update
             new_tables[tname], new_acc[tname] = upd(
@@ -502,3 +552,78 @@ def make_sharded_topk(mesh, k: int, corpus_chunk: int = 4096):
         return best, jnp.take_along_axis(ai, pos, axis=1)
 
     return jax.jit(topk)
+
+
+# ---------------------------------------------------------------------------
+# quantized (int8) sharded tables
+
+
+def make_quantized_sharded_lookup(mesh):
+    """Row-sharded int8 lookup: like `make_sharded_lookup` but dequantizing
+    local rows (int8 values + per-row scales) before the partial pool —
+    gathers move 1/4 the HBM bytes."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            QuantizedTable(values=P(FLAT_AXES, None), scales=P(FLAT_AXES)),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+        ),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def lookup(qt_shard, ids, w):
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        rows = qt_shard.values.shape[0]
+        local = ids_all - didx * rows
+        ok = (local >= 0) & (local < rows) & (w_all != 0)
+        safe = jnp.where(ok, local, 0)
+        emb = jnp.take(qt_shard.values, safe, axis=0).astype(jnp.float32)
+        scales = jnp.take(qt_shard.scales, safe, axis=0) / 127.0
+        emb = emb * scales[..., None] * jnp.where(ok, w_all, 0.0)[..., None]
+        part = emb.sum(axis=1)
+        out = jax.lax.psum_scatter(part, DATA_AXIS, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return lookup
+
+
+def make_quantized_sharded_update(mesh, lr: float, eps: float):
+    """Row-sharded int8 row-wise Adagrad: each device re-quantizes only the
+    rows it owns."""
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        QuantizedTable,
+        quantized_rowwise_adagrad,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            QuantizedTable(values=P(FLAT_AXES, None), scales=P(FLAT_AXES)),
+            P(FLAT_AXES),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(
+            QuantizedTable(values=P(FLAT_AXES, None), scales=P(FLAT_AXES)),
+            P(FLAT_AXES),
+        ),
+        check_vma=False,
+    )
+    def update(qt_shard, acc_shard, ids, w, row_g):
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
+        rows = qt_shard.values.shape[0]
+        local = ids_all - didx * rows
+        ok = (local >= 0) & (local < rows) & (w_all != 0)
+        flat_ids = jnp.where(ok, local, rows).astype(jnp.int32).reshape(-1)
+        flat_g = g_all.reshape(-1, g_all.shape[-1])
+        return quantized_rowwise_adagrad(qt_shard, acc_shard, flat_ids, flat_g, lr, eps)
+
+    return update
