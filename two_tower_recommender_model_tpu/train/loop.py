@@ -174,21 +174,34 @@ def train_one_epoch_packed(
     packed_featurizer,
     macro: int = 16,
     prefetch: int = 2,
+    num_workers: int = 2,
 ) -> tuple[TrainState, dict[str, float]]:
     """High-throughput epoch: packed device-side featurization + K-step
     macro-batches through `make_multi_step` (the bench-proven fast feed).
     `batches` must yield uniform-size column dicts (drop_last loaders);
-    a trailing partial macro is dropped."""
+    a trailing partial macro is dropped. `num_workers` featurizes+stacks
+    macro groups concurrently (order preserved)."""
     import jax
 
-    from two_tower_recommender_model_tpu.train.pipeline import macro_stream
+    from two_tower_recommender_model_tpu.train.step import stack_batches
+
+    def groups():
+        g = []
+        for cols in batches:
+            g.append(cols)
+            if len(g) == macro:
+                yield g
+                g = []
+
+    def assemble(group):
+        return stack_batches([packed_featurizer(c) for c in group])
 
     steps = 0
     examples = 0
     t0 = time.perf_counter()
     out = None
     for mb in pipeline_lib.prefetch_to_device(
-        macro_stream(batches, packed_featurizer, macro), lambda x: x, prefetch=prefetch
+        groups(), assemble, prefetch=prefetch, num_workers=num_workers
     ):
         state, out = multi_step(state, mb)
         k, b = mb.ids_raw.shape[:2]
