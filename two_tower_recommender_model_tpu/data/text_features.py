@@ -63,7 +63,9 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     b = np.asarray(b, np.float32)
     num = np.einsum("ij,ij->i", a, b)
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return np.where(den > 0, num / den, 0.0)
+    out = np.zeros_like(num)
+    np.divide(num, den, out=out, where=den > 0)
+    return out
 
 
 def build_product_text_features(

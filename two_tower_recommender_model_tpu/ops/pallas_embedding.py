@@ -104,7 +104,7 @@ def pallas_pooled_lookup(
         in_specs=[
             pl.BlockSpec((tile_b, bag_l), lambda i: (i, 0), memory_space=pltpu.SMEM),  # ids
             pl.BlockSpec((tile_b, bag_l), lambda i: (i, 0)),  # w
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_b, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),

@@ -105,9 +105,9 @@ def pallas_row_subtract(
         in_specs=[
             pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),  # ids
             pl.BlockSpec((tile_m, d), lambda i: (i, 0)),  # pre-scaled updates
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # table (HBM)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
         scratch_shapes=[
             pltpu.VMEM((NBUF, d), jnp.float32),
