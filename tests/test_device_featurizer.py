@@ -216,3 +216,33 @@ def test_macro_stream_groups_and_trains(mcfg):
         state, out = multi(state, mb)
     assert int(state.step) == 6
     assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+def test_train_one_epoch_packed_matches_sequential(mcfg):
+    """train_one_epoch_packed (worker-pool macro assembly) == sequential
+    per-batch training over the same stream."""
+    from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
+    from two_tower_recommender_model_tpu.train.step import make_multi_step
+
+    tcfg = cfg_lib.TrainConfig()
+    ds = SyntheticClickstream(100, 60, seed=5)
+    pf = PackedFeaturizer(mcfg)
+    host_cols = [ds.sample(64, start=i) for i in range(9)]  # 9 batches, macro=4 -> 8 used
+
+    state_a, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    state_b = state_a
+    seq = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for cols in host_cols[:8]:
+        state_a, out_a = seq(state_a, unpack_batch(jax.tree.map(jnp.asarray, pf(cols)), mcfg))
+
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg)), donate=False)
+    state_b, stats = train_one_epoch_packed(state_b, multi, iter(host_cols), pf,
+                                            macro=4, num_workers=3)
+    assert stats["train_steps"] == 8  # trailing partial macro dropped
+    assert stats["train_examples"] == 8 * 64
+    assert stats["examples_per_sec"] > 0
+    np.testing.assert_allclose(stats["train_loss"], float(out_a["loss"]), rtol=1e-6)
+    for name in state_a.tables:
+        np.testing.assert_array_equal(np.asarray(state_a.tables[name]),
+                                      np.asarray(state_b.tables[name]))
