@@ -164,8 +164,14 @@ class TrainConfig:
     learning_rate: float = 1e-3  # dense towers (Adam)
     sparse_learning_rate: float = 1e-2  # embedding tables (row-wise Adagrad)
     adagrad_eps: float = 1e-10
-    loss: str = "bce"  # "bce" (reference parity) | "sampled_softmax"
+    loss: str = "bce"  # "bce" (parity) | "weighted_bce" | "sampled_softmax"
     logq_correction: bool = True  # only for sampled_softmax
+    softmax_temperature: float = 1.0  # only for sampled_softmax
+    # weighted_bce: one weight per interaction type; the one-hot type columns
+    # live in batch.dense[:, start : start + len(weights)]
+    # (`ray_tune_optuna_tuning_alex_test.py:308-318`)
+    loss_type_weights: tuple[float, ...] | None = None
+    loss_type_onehot_start: int = 0
     seed: int = 0
     validation_freq: int | None = None  # mid-epoch val every N steps
     limit_train_batches: int | None = None

@@ -67,18 +67,20 @@ class PackedFeaturizer:
         self.total_slots = sum(s for _, s, _ in self.slots)
 
     @staticmethod
-    def _fit_int32(col: np.ndarray, num_embeddings: int) -> np.ndarray:
-        """Raw ids beyond int32 range (either side) are pre-hashed on host
-        into an int32 value that preserves both semantics the device
-        recomputes: the modulo hash (`v % N == raw % N`) and the missing-id
-        mask (`v == 0  <=>  raw == 0`, using N itself — which hashes to 0 —
-        as the nonzero stand-in)."""
+    def _fit_int32(
+        col: np.ndarray, num_embeddings: int, lo: int | None = None, hi: int | None = None
+    ) -> np.ndarray:
+        """Raw ids outside the representable window [lo, hi] are pre-hashed on
+        host into a value that preserves both semantics the device recomputes:
+        the modulo hash (`v % N == raw % N`) and the missing-id mask
+        (`v == 0  <=>  raw == 0`, using N itself — which hashes to 0 — as the
+        nonzero stand-in). The window is checked by VALUE for every dtype:
+        unsigned 32-bit ids >= 2^31 would wrap negative on int32 assignment,
+        and 64-bit ids can exceed either side."""
         info = np.iinfo(np.int32)
-        if (
-            col.dtype.itemsize <= 4
-            or not col.size
-            or (col.max(initial=0) <= info.max and col.min(initial=0) >= info.min)
-        ):
+        lo = info.min if lo is None else lo
+        hi = info.max if hi is None else hi
+        if not col.size or (col.min(initial=0) >= lo and col.max(initial=0) <= hi):
             return col
         v = col % num_embeddings
         return np.where((col != 0) & (v == 0), num_embeddings, v)
@@ -89,7 +91,11 @@ class PackedFeaturizer:
         ids = np.zeros((b, self.total_slots), np.int32)
         off = 0
         for name, L, num_embeddings in self.slots:
-            col = self._fit_int32(np.asarray(columns[name]), num_embeddings)
+            # pack_label steals bit 30 of the FIRST feature's ids; raw ids in
+            # [2^30, 2^31) (legal under id % N hashing) would corrupt the
+            # label bit, so pre-hash that feature into [0, 2^30) at pack time
+            lo, hi = (0, (1 << 30) - 1) if self.pack_label and off == 0 else (None, None)
+            col = self._fit_int32(np.asarray(columns[name]), num_embeddings, lo, hi)
             if col.ndim == 1:
                 ids[:, off] = col
             else:

@@ -214,8 +214,7 @@ class StreamLoader:
         t = threading.Thread(target=reader, args=(plan[start_idx:], q, stop), daemon=True)
         t.start()
 
-        buf: dict[str, list[np.ndarray]] = {}
-        buf_rows = 0
+        buf = _ChunkBuffer()
         first = True
         try:
             while True:
@@ -229,25 +228,21 @@ class StreamLoader:
                 if first and within_shard_skip:
                     perm = perm[within_shard_skip:]
                 first = False
-                for k, v in cols.items():
-                    buf.setdefault(k, []).append(v[perm])
-                buf_rows += len(perm)
-                while buf_rows >= self.batch_size:
+                buf.push({k: v[perm] for k, v in cols.items()})
+                while buf.rows >= self.batch_size:
                     if max_batches is not None and self._batches_yielded >= max_batches:
                         self._epoch = epoch + 1  # truncated epoch still completes
                         self._batches_yielded = 0
                         return
-                    batch, buf, buf_rows = _take(buf, buf_rows, self.batch_size)
                     self._batches_yielded += 1
-                    yield batch
+                    yield buf.take(self.batch_size)
             if (
-                buf_rows
+                buf.rows
                 and not self.drop_last
                 and (max_batches is None or self._batches_yielded < max_batches)
             ):
-                batch, buf, buf_rows = _take(buf, buf_rows, buf_rows)
                 self._batches_yielded += 1
-                yield batch
+                yield buf.take(buf.rows)
         finally:
             stop.set()
         # epoch finished -> advance
@@ -255,9 +250,38 @@ class StreamLoader:
         self._batches_yielded = 0
 
 
-def _take(buf: dict[str, list[np.ndarray]], buf_rows: int, n: int):
-    """Pop the first n rows from a column buffer."""
-    cols = {k: np.concatenate(v) if len(v) > 1 else v[0] for k, v in buf.items()}
-    batch = {k: v[:n] for k, v in cols.items()}
-    rest = {k: [v[n:]] for k, v in cols.items()}
-    return batch, rest, buf_rows - n
+class _ChunkBuffer:
+    """Row cursor over queued shard chunks. Batches are zero-copy views into
+    the decoded shard arrays; only the (rare) batch straddling a shard
+    boundary concatenates — the previous rebuild-the-buffer-per-batch scheme
+    recopied every column once per batch (O(shard_rows x batches_per_shard)
+    host traffic)."""
+
+    def __init__(self):
+        self.chunks: collections.deque[dict[str, np.ndarray]] = collections.deque()
+        self.rows = 0
+        self._head_off = 0
+
+    def push(self, cols: dict[str, np.ndarray]) -> None:
+        n = len(next(iter(cols.values())))
+        if n:
+            self.chunks.append(cols)
+            self.rows += n
+
+    def take(self, n: int) -> dict[str, np.ndarray]:
+        parts = []
+        need = n
+        while need:
+            head = self.chunks[0]
+            avail = len(next(iter(head.values()))) - self._head_off
+            use = min(avail, need)
+            parts.append({k: v[self._head_off : self._head_off + use] for k, v in head.items()})
+            self._head_off += use
+            need -= use
+            if use == avail:
+                self.chunks.popleft()
+                self._head_off = 0
+        self.rows -= n
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}

@@ -54,7 +54,12 @@ def export_feature_embeddings(
     # arrays go in as ARGUMENTS, never closures: a closed-over table would be
     # baked into the lowered program as a literal constant (observed 200s+
     # compiles shipping a 105MB table inside the HLO)
-    table = jnp.asarray(params["tables"][fc.table])
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable, dequantize_table
+
+    table = params["tables"][fc.table]
+    if isinstance(table, QuantizedTable):
+        table = dequantize_table(table)  # int8-trained state exports like f32
+    table = jnp.asarray(table)
     tower_params = jax.tree.map(jnp.asarray, params[tower_key])
     if ids is None:
         ids = np.arange(table_cfg.num_embeddings)
@@ -120,7 +125,11 @@ def retrieval_metrics(
         for k in ks:
             h = hits[:k]
             rel = h.sum()
-            out.setdefault(f"recall_at_{k}", []).append(rel / min(len(tgt), k))
+            # mlflow retriever protocol divides by len(targets), NOT
+            # min(len(targets), k) — users with more than k held-out positives
+            # cannot reach recall 1.0 (`mlflow.evaluate(model_type="retriever")`,
+            # `04_evaluate_retrieval.py:202-210`)
+            out.setdefault(f"recall_at_{k}", []).append(rel / len(tgt))
             out.setdefault(f"precision_at_{k}", []).append(rel / k)
             out.setdefault(f"hit_rate_at_{k}", []).append(1.0 if rel > 0 else 0.0)
             dcg = (h / np.log2(np.arange(2, k + 2))).sum()

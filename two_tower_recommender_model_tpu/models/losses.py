@@ -84,14 +84,41 @@ def item_log_q_from_counts(counts: jax.Array, item_ids: jax.Array) -> jax.Array:
     return jnp.log(c / total)
 
 
-def make_loss_fn(name: str, candidate_id_feature: str | None = None):
+def make_loss_fn(
+    name: str,
+    candidate_id_feature: str | None = None,
+    type_weights: tuple[float, ...] | None = None,
+    type_onehot_start: int = 0,
+    temperature: float = 1.0,
+):
     """Loss factory. For "sampled_softmax", `candidate_id_feature` names the
     batch feature whose first-slot ids identify the in-batch items (enables
-    accidental-hit masking; defaults to the model's candidate-side id)."""
+    accidental-hit masking; defaults to the model's candidate-side id).
+    For "weighted_bce", `type_weights` gives one weight per interaction type
+    and the types arrive as one-hot dense columns
+    `batch.dense[:, type_onehot_start : type_onehot_start + len(type_weights)]`
+    (the reference's WeightedBCELoss wiring,
+    `ray_tune_optuna_tuning_alex_test.py:308-318`, `:359-376`)."""
     if name == "bce":
         def loss_fn(q, c, batch, log_q=None):
             logits = jnp.sum(q * c, axis=1)
             return bce_with_logits(logits, batch.labels), logits
+        return loss_fn
+    if name == "weighted_bce":
+        if not type_weights:
+            raise ValueError('loss="weighted_bce" requires non-empty type_weights')
+        tw = jnp.asarray(type_weights, jnp.float32)
+        lo, hi = type_onehot_start, type_onehot_start + len(type_weights)
+
+        def loss_fn(q, c, batch, log_q=None):
+            logits = jnp.sum(q * c, axis=1)
+            if batch.dense is None:
+                raise ValueError(
+                    "weighted_bce needs dense one-hot type columns in the batch "
+                    "(configure the featurizer's dense_cols)"
+                )
+            onehot = batch.dense[:, lo:hi]
+            return weighted_bce_with_logits(logits, batch.labels, onehot, tw), logits
         return loss_fn
     if name == "sampled_softmax":
         def loss_fn(q, c, batch, log_q=None):
@@ -99,7 +126,22 @@ def make_loss_fn(name: str, candidate_id_feature: str | None = None):
             item_ids = None
             if candidate_id_feature is not None and candidate_id_feature in batch.features:
                 item_ids = batch.features[candidate_id_feature].ids[:, 0]
-            loss = in_batch_sampled_softmax(q, c, batch.labels, item_ids, log_q)
+            loss = in_batch_sampled_softmax(
+                q, c, batch.labels, item_ids, log_q, temperature=temperature
+            )
             return loss, logits
         return loss_fn
     raise ValueError(f"unknown loss {name!r}")
+
+
+def loss_fn_from_config(train_cfg, model_cfg):
+    """Build the training loss from TrainConfig + ModelConfig — the single
+    selection point the train-step builders share (reference wires its loss
+    into the train task at `ray_tune_optuna_tuning_alex_test.py:359-376`)."""
+    return make_loss_fn(
+        train_cfg.loss,
+        candidate_id_feature=model_cfg.candidate_tower.features[0],
+        type_weights=train_cfg.loss_type_weights,
+        type_onehot_start=train_cfg.loss_type_onehot_start,
+        temperature=train_cfg.softmax_temperature,
+    )

@@ -396,9 +396,7 @@ def make_sharded_train_step(
     step (`train/step.py`), with sharded lookup/update collectives. Dense
     tower grads sync over the data axis automatically (replicated params,
     data-sharded batch => XLA inserts the psum)."""
-    loss_fn = losses_lib.make_loss_fn(
-        train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
-    )
+    loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg)
     _, pooled_embeddings = make_sharded_forward(model_cfg, mesh, plan)
     sharded_update = make_sharded_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps

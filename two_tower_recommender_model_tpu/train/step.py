@@ -124,9 +124,7 @@ def make_train_step(
     tables lives in `parallel/sharded.py` and shares stages B/C.
     `jit=False` returns the raw traceable step (for composition under
     `lax.scan`, see `make_multi_step`)."""
-    loss_fn = losses_lib.make_loss_fn(
-        train_cfg.loss, candidate_id_feature=model_cfg.candidate_tower.features[0]
-    )
+    loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg)
 
     cand_feature = model_cfg.candidate_tower.features[0]
 
