@@ -7,11 +7,29 @@ dim 128, towers [128, 64], BCE loss, fused row-wise Adagrad (sparse) + Adam
 (dense) — measured end-to-end including host featurization and H2D transfer
 via the prefetching pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology (defensibility guarantees, in order):
+1. every dispatched macro-batch carries a DISTINCT host payload (a 37-batch
+   pool cycled under a 32-batch macro never repeats a stacked payload within
+   a run) — the axon tunnel dedupes byte-identical dispatches, which round 1
+   measured as impossible throughput;
+2. the reported value is the MEDIAN of >=5 timed windows; the full per-window
+   list ships in the JSON;
+3. a roofline guard models HBM bytes/step and MXU FLOPs/step; the script
+   REFUSES to print any number whose implied bandwidth or FLOP rate exceeds
+   the v5e peaks (819 GB/s, 197 bf16 TFLOP/s);
+4. the per-window training loss is printed and must decrease from the first
+   to the last window (proof the steps actually executed);
+5. a from-disk epoch (TTRS shards -> StreamLoader -> packed train) is
+   measured alongside, so the hot-loop number can be reconciled with the
+   end-to-end pipeline number in one place.
+
+Prints ONE JSON line; "metric"/"value"/"unit"/"vs_baseline" lead (driver
+contract), diagnostics follow as extra keys.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
 import json
 import os
@@ -20,8 +38,75 @@ import time
 
 BASELINE_EXAMPLES_PER_SEC = 27_000.0  # 1x A10, derived in BASELINE.md
 
+# v5e single-chip peaks (public spec): HBM BW and bf16 MXU rate.
+V5E_HBM_BYTES_PER_SEC = 819e9
+V5E_PEAK_FLOPS = 197e12
 
-def main() -> None:
+N_USERS, N_ITEMS = 206_209, 49_688
+EMBED_DIM = 128
+LAYERS = (128, 64)
+
+
+def roofline_model(batch_size: int, table_dtype: str) -> dict:
+    """Modeled per-example HBM bytes and MXU FLOPs for the flagship step.
+
+    Bytes (per sparse feature, D=128): forward gather reads one row; the
+    fused update reads + writes the touched row and its f32 accumulator
+    scalar. int8 adds a per-row scale read+write. Tower activations/params
+    are small and mostly fused; the id transfer is 8B/example (packed).
+    FLOPs: two towers, layers (256->128 eq: in-dim 128), fwd+bwd ~= 3x fwd.
+    """
+    tb = {"float32": 4, "bfloat16": 2, "int8": 1}[table_dtype]
+    n_feat = 2
+    gather = n_feat * EMBED_DIM * tb            # fwd row read
+    update = n_feat * 2 * EMBED_DIM * tb        # row read + write
+    acc = n_feat * 2 * 4                        # accumulator read + write (f32)
+    scales = n_feat * 2 * 4 if table_dtype == "int8" else 0
+    h2d = 8                                     # packed int32 ids (+label bit)
+    bytes_ex = gather + update + acc + scales + h2d
+
+    def tower_flops(in_dim):
+        f, d = 0, in_dim
+        for out in LAYERS:
+            f += 2 * d * out
+            d = out
+        return f
+
+    flops_ex = 2 * 3 * tower_flops(EMBED_DIM)  # 2 towers, fwd+bwd ~ 3x fwd
+    return {"bytes_per_example": bytes_ex, "flops_per_example": flops_ex}
+
+
+def check_roofline(eps: float, model: dict, label: str) -> dict:
+    implied_bw = eps * model["bytes_per_example"]
+    implied_flops = eps * model["flops_per_example"]
+    out = {
+        **model,
+        "implied_gb_per_sec": round(implied_bw / 1e9, 1),
+        "implied_tflop_per_sec": round(implied_flops / 1e12, 2),
+        "hbm_peak_gb_per_sec": V5E_HBM_BYTES_PER_SEC / 1e9,
+        "mxu_peak_tflop_per_sec": V5E_PEAK_FLOPS / 1e12,
+        "hbm_utilization": round(implied_bw / V5E_HBM_BYTES_PER_SEC, 3),
+    }
+    if implied_bw > V5E_HBM_BYTES_PER_SEC or implied_flops > V5E_PEAK_FLOPS:
+        raise RuntimeError(
+            f"{label}: measured {eps:.3g} ex/s implies "
+            f"{implied_bw/1e9:.0f} GB/s HBM / {implied_flops/1e12:.1f} TFLOP/s — "
+            f"over v5e peak ({V5E_HBM_BYTES_PER_SEC/1e9:.0f} GB/s / "
+            f"{V5E_PEAK_FLOPS/1e12:.0f} TFLOPs). Refusing to report a "
+            "physically impossible number (measurement artifact)."
+        )
+    return out
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def measure_hot_loop(table_dtype: str, batch_size: int, macro: int, windows: int,
+                     per_window: int, warmup: int = 3) -> dict:
+    """Chained-state macro-batch training over distinct host payloads."""
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
@@ -38,19 +123,14 @@ def main() -> None:
         stack_batches,
     )
 
-    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 65536))
-    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 32))  # K steps per dispatch
-    warmup = 3
-    measure = max(int(os.environ.get("BENCH_STEPS", 640)) // macro, 5)
-
     mcfg = cfg_lib.two_tower_model_config(
-        num_users=206_209, num_items=49_688, embedding_dim=128, layer_sizes=(128, 64)
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
+    if table_dtype != "float32":
+        mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
     tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
-    ds = SyntheticClickstream(num_users=206_209, num_items=49_688, seed=0)
-    # Device-side featurization (hash/mask fuse into the step; label bit rides
-    # in the id array => one 8B/example transfer) + macro-batching (K batches
-    # per lax.scan dispatch, amortizing transfer/dispatch latency).
+    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
+                              noise=0.05, latent_dim=4)
     featurizer = PackedFeaturizer(mcfg, pack_label=True)
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
@@ -59,44 +139,153 @@ def main() -> None:
         lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
     )
 
-    host_batches = [ds.sample(batch_size, start=i) for i in range(32)]
+    # Payload distinctness: pool size COPRIME with the macro size, so the
+    # stacked [K, B] payload of every macro in the run is a different byte
+    # pattern (pool=37 vs macro=32 repeats only after 37 macros > total run).
+    pool_n = macro + 5
+    while pool_n % macro == 0 or macro % pool_n == 0:
+        pool_n += 1
+    n_macros = warmup + windows * per_window
+    assert n_macros <= pool_n, (n_macros, pool_n)
+    pool = [featurizer(ds.sample(batch_size, start=i)) for i in range(pool_n)]
 
-    def macro_stream(n_macros):
-        it = itertools.cycle(host_batches)
+    def macro_stream():
+        it = itertools.cycle(pool)
         for _ in range(n_macros):
-            yield stack_batches([featurizer(next(it)) for _ in range(macro)])
+            yield stack_batches([next(it) for _ in range(macro)])
 
-    # 3 timed windows; report the best — robust to transient host/transfer
-    # stalls (steady-state throughput is the quantity of interest)
-    windows = 3
-    per_window = max(measure // windows, 3)
-    window_times = []
-    stream = prefetch_to_device(
-        macro_stream(warmup + windows * per_window), lambda x: x, prefetch=3
-    )
+    window_times, window_losses = [], []
     n = 0
     t0 = None
-    for mb in stream:
+    for mb in prefetch_to_device(macro_stream(), lambda x: x, prefetch=3):
         state, out = train_step(state, mb)
         n += 1
         if n >= warmup and (n - warmup) % per_window == 0:
-            jax.block_until_ready(out["loss"])
+            loss = float(jax.block_until_ready(out["loss"]).mean())
             now = time.perf_counter()
             if t0 is not None:
                 window_times.append(now - t0)
+                window_losses.append(round(loss, 5))
             t0 = now
-    examples_per_sec = per_window * macro * batch_size / min(window_times)
-
-    print(
-        json.dumps(
-            {
-                "metric": "two_tower_train_examples_per_sec_1chip",
-                "value": round(examples_per_sec, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 2),
-            }
+    window_eps = [per_window * macro * batch_size / t for t in window_times]
+    eps = _median(window_eps)
+    if not (window_losses[-1] < window_losses[0]):
+        raise RuntimeError(
+            f"loss did not decrease across windows ({window_losses}) — "
+            "steps may not have executed; refusing to report."
         )
+    return {
+        "examples_per_sec": eps,
+        "windows_examples_per_sec": [round(e, 1) for e in window_eps],
+        "window_losses": window_losses,
+        "roofline": check_roofline(eps, roofline_model(batch_size, table_dtype),
+                                   f"hot_loop[{table_dtype}]"),
+    }
+
+
+def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
+    """End-to-end epoch from TTRS shards on local disk — the number that
+    reconciles with the reference's from-disk 27k ex/s epoch
+    (`03_model_training.py:866`). Uses the production fast path: PRE-PACKED
+    uncompressed shards (device-layout columns written once at prep time,
+    `data/prepacked.py`) -> mmap StreamLoader -> macro-scan train."""
+    import tempfile
+
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.device_featurizer import unpack_batch
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+    from two_tower_recommender_model_tpu.data.prepacked import (
+        PrepackedFeaturizer,
+        pack_dataset,
     )
+    from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+    from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_multi_step,
+        make_train_step,
+    )
+
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
+    )
+    tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
+    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=1)
+    work = tempfile.mkdtemp(prefix="bench_disk_")
+    pack_dataset(work, mcfg, ds.sample(rows), rows_per_shard=1 << 19)
+    dataset = ShardedDataset(work)
+
+    featurizer = PrepackedFeaturizer.for_dataset(dataset, mcfg)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
+
+    # epoch 0 warms compile + page cache; epoch 1 is the measurement
+    for epoch in range(2):
+        loader = StreamLoader(dataset, batch_size, seed=1, read_workers=2)
+        loader.set_epoch(epoch)
+        state, stats = train_one_epoch_packed(state, multi, loader, featurizer, macro=macro)
+    return {
+        "examples_per_sec": stats["examples_per_sec"],
+        "rows": stats["train_examples"],
+        "epoch_time_s": round(stats["epoch_time_s"], 3),
+    }
+
+
+def main() -> None:
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 65536))
+    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 32))
+    windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 5)
+    per_window = max(int(os.environ.get("BENCH_STEPS", 640)) // macro // windows, 1)
+    disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
+    dtypes = os.environ.get("BENCH_TABLE_DTYPES", "float32,bfloat16,int8").split(",")
+
+    variants = {}
+    for dt in dtypes:
+        variants[dt] = measure_hot_loop(dt, batch_size, macro, windows, per_window)
+        print(f"# {dt}: {variants[dt]['examples_per_sec']:.3g} ex/s "
+              f"windows={variants[dt]['windows_examples_per_sec']} "
+              f"losses={variants[dt]['window_losses']}", file=sys.stderr, flush=True)
+
+    headline = variants["float32"]["examples_per_sec"]
+    record = {
+        "metric": "two_tower_train_examples_per_sec_1chip",
+        "value": round(headline, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(headline / BASELINE_EXAMPLES_PER_SEC, 2),
+        "note": ("hot-loop (in-memory feed, distinct payloads, median of "
+                 f"{windows} windows); baseline 27k ex/s is the reference's "
+                 "from-disk A10 epoch — see from_disk for the apples-to-apples "
+                 "comparison"),
+        "batch_size": batch_size,
+        "macro": macro,
+        "windows_examples_per_sec": variants["float32"]["windows_examples_per_sec"],
+        "window_losses": variants["float32"]["window_losses"],
+        "roofline": variants["float32"]["roofline"],
+        "variants": {
+            dt: {
+                "examples_per_sec": round(v["examples_per_sec"], 1),
+                "windows_examples_per_sec": v["windows_examples_per_sec"],
+                "window_losses": v["window_losses"],
+                "roofline": v["roofline"],
+            }
+            for dt, v in variants.items()
+        },
+    }
+    if disk_rows > 0:
+        fd = measure_from_disk(batch_size, macro, disk_rows)
+        check_roofline(fd["examples_per_sec"], roofline_model(batch_size, "float32"),
+                       "from_disk")
+        record["from_disk"] = {
+            "examples_per_sec": round(fd["examples_per_sec"], 1),
+            "rows": fd["rows"],
+            "epoch_time_s": fd["epoch_time_s"],
+            "vs_baseline": round(fd["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def parse_args():
     ap.add_argument("--multi-host", action="store_true")
     ap.add_argument("--mesh-model", type=int, default=1, help="model axis size")
     ap.add_argument("--no-shard", action="store_true", help="force replicated tables")
+    ap.add_argument("--no-packed", action="store_true",
+                    help="disable the packed macro-batch fast path (single-device only)")
+    ap.add_argument("--macro-batches", type=int, default=16,
+                    help="steps per dispatch on the packed fast path")
     ap.add_argument("--export-dir", default=None, help="export saved model here at the end")
     return ap.parse_args()
 
@@ -158,6 +162,50 @@ def main():
             ckpt.save(int(s.step), s, loader_state=train_loader.state_dict(),
                       extra={"completed_epoch": epoch}, wait=True)
 
+    # Packed macro-batch fast path (default when unsharded): device-side
+    # featurization + K-step scan dispatches, full train_val_test semantics
+    # (mid-epoch validation, limits, tail batches) via train_one_epoch_packed.
+    train_epoch_fn = None
+    if not sharded and not args.no_packed:
+        from two_tower_recommender_model_tpu.data.device_featurizer import (
+            PackedFeaturizer, make_packed_train_step, unpack_batch,
+        )
+        from two_tower_recommender_model_tpu.data.prepacked import PrepackedFeaturizer
+        from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
+        from two_tower_recommender_model_tpu.train.step import make_multi_step
+
+        if train_loader.dataset.index.get("packed"):
+            packed_feat = PrepackedFeaturizer.for_dataset(train_loader.dataset, mcfg)
+        else:
+            packed_feat = PackedFeaturizer(mcfg, pack_label=True)
+        core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+        multi = make_multi_step(
+            lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
+        )
+        tail_step = make_packed_train_step(core, mcfg, pack_label=True)
+
+        # prepacked val/test datasets eval through the packed eval step
+        from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+
+        val_ds = ShardedDataset(os.path.join(args.data_dir, "val"))
+        if val_ds.index.get("packed"):
+            from two_tower_recommender_model_tpu.data.device_featurizer import (
+                make_packed_eval_step,
+            )
+            from two_tower_recommender_model_tpu.train.step import make_eval_step as _mes
+
+            featurizer = PrepackedFeaturizer.for_dataset(val_ds, mcfg)
+            eval_step = make_packed_eval_step(_mes(mcfg, tcfg), mcfg, pack_label=True)
+
+        def train_epoch_fn(state, epoch):
+            train_loader.set_epoch(epoch)
+            return train_one_epoch_packed(
+                state, multi, train_loader, packed_feat, macro=args.macro_batches,
+                train_cfg=tcfg, tail_step=tail_step, eval_step=eval_step,
+                val_batches_factory=eval_factory("val"), val_featurizer=featurizer,
+                logger=logger, epoch=epoch,
+            )
+
     state, results = train_val_test(
         state, train_step, eval_step, mcfg, tcfg, featurizer,
         train_batches_factory=train_factory,
@@ -165,6 +213,7 @@ def main():
         test_batches_factory=eval_factory("test"),
         logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
         pad_multiple=n_devices if sharded else None, start_epoch=start_epoch,
+        train_epoch_fn=train_epoch_fn,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

@@ -246,3 +246,54 @@ def test_train_one_epoch_packed_matches_sequential(mcfg):
     for name in state_a.tables:
         np.testing.assert_array_equal(np.asarray(state_a.tables[name]),
                                       np.asarray(state_b.tables[name]))
+
+
+def test_train_one_epoch_packed_full_semantics(mcfg):
+    """Unified packed epoch (round 2): limit_train_batches honored, trailing
+    partial macro trained through tail_step (not dropped), mid-epoch
+    validation fires at the validation_freq cadence — and the result equals
+    sequential per-batch training over the same 9 batches."""
+    from two_tower_recommender_model_tpu.data import Featurizer
+    from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
+    from two_tower_recommender_model_tpu.train.step import make_multi_step
+
+    tcfg = cfg_lib.TrainConfig(validation_freq=3, limit_train_batches=9,
+                               limit_val_batches=2)
+    ds = SyntheticClickstream(100, 60, seed=6)
+    pf = PackedFeaturizer(mcfg)
+    feat = Featurizer(mcfg)
+    host_cols = [ds.sample(64, start=i) for i in range(12)]  # limited to 9
+    val_cols = [ds.sample(64, start=100 + i, split="val") for i in range(2)]
+
+    state_a, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    state_b = state_a
+    seq = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for cols in host_cols[:9]:
+        state_a, out_a = seq(state_a, unpack_batch(jax.tree.map(jnp.asarray, pf(cols)), mcfg))
+
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg)), donate=False)
+    tail = make_packed_train_step(core, mcfg)
+
+    class Rec:
+        calls = []
+
+        def log_metrics(self, m, step=None):
+            Rec.calls.append(dict(m))
+
+    state_b, stats = train_one_epoch_packed(
+        state_b, multi, iter(host_cols), pf, macro=4,
+        train_cfg=tcfg, tail_step=tail, eval_step=make_eval_step(mcfg, tcfg),
+        val_batches_factory=lambda: iter(val_cols), val_featurizer=feat, logger=Rec(),
+    )
+    # 2 full macros (8 steps) + 1 tail batch = 9 steps, 9*64 examples
+    assert stats["train_steps"] == 9
+    assert stats["train_examples"] == 9 * 64
+    # validations at step>=3 (after macro 1: step 4), >=6 (after macro 2:
+    # step 8), >=9 (after the tail step): 3 mid-epoch validations
+    assert len(Rec.calls) == 3
+    assert all("val_loss" in c and np.isfinite(c["val_loss"]) for c in Rec.calls)
+    np.testing.assert_allclose(stats["train_loss"], float(out_a["loss"]), rtol=1e-6)
+    for name in state_a.tables:
+        np.testing.assert_array_equal(np.asarray(state_a.tables[name]),
+                                      np.asarray(state_b.tables[name]))

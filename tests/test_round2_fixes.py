@@ -158,3 +158,38 @@ def test_weighted_bce_reachable_from_train_config():
     # and the unweighted loss differs (weights actually take effect)
     plain = losses_lib.bce_with_logits(logits, batch.labels)
     assert abs(float(want) - float(plain)) > 1e-6
+
+
+def test_per_table_dtype_mix():
+    """One int8 side table among f32 tables (TableConfig.dtype override):
+    trains, exports, and round-trips through config JSON."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
+    mcfg = cfg_lib.ModelConfig(
+        tables=(
+            cfg_lib.TableConfig("t_a", 50, 8),
+            cfg_lib.TableConfig("t_b", 30, 8, dtype="int8"),
+        ),
+        features=(cfg_lib.FeatureConfig("a", "t_a"), cfg_lib.FeatureConfig("b", "t_b")),
+        query_tower=cfg_lib.TowerConfig(("a",), (16, 8)),
+        candidate_tower=cfg_lib.TowerConfig(("b",), (16, 8)),
+    )
+    tcfg = cfg_lib.TrainConfig()
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    assert not isinstance(state.tables["t_a"], QuantizedTable)
+    assert isinstance(state.tables["t_b"], QuantizedTable)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    rng = np.random.default_rng(0)
+    feat_cols = {"a": rng.integers(1, 50, 32), "b": rng.integers(1, 30, 32),
+                 "label": rng.integers(0, 2, 32)}
+    from two_tower_recommender_model_tpu.data import Featurizer
+
+    batch = jax.tree.map(jnp.asarray, Featurizer(mcfg)(feat_cols))
+    state, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    # config JSON round-trip preserves the per-table dtype
+    import json as _json
+
+    d = _json.loads(cfg_lib.to_json(mcfg))
+    mcfg2 = cfg_lib.model_config_from_dict(d)
+    assert mcfg2.table("t_b").dtype == "int8" and mcfg2.table("t_a").dtype is None

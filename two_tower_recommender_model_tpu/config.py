@@ -29,6 +29,10 @@ class TableConfig:
     num_embeddings: int
     embedding_dim: int = 128
     feature_names: tuple[str, ...] = ()
+    # per-table storage dtype override ("float32" | "bfloat16" | "int8");
+    # None -> the model-wide table_dtype. Lets one model mix e.g. an int8
+    # side-feature table with f32 id tables.
+    dtype: str | None = None
 
     def __post_init__(self):
         if not self.feature_names:
@@ -90,6 +94,10 @@ class ModelConfig:
     @property
     def resolved_table_dtype(self) -> str:
         return self.table_dtype or self.param_dtype
+
+    def table_dtype_of(self, table_name: str) -> str:
+        """Storage dtype for one table (per-table override, else model-wide)."""
+        return self.table(table_name).dtype or self.resolved_table_dtype
 
     def table(self, name: str) -> TableConfig:
         for t in self.tables:
@@ -214,7 +222,8 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
     `eval()`-of-param-strings model reload, `03_model_training.py:1015-1054` —
     done here with typed parsing instead of eval)."""
     tables = tuple(
-        TableConfig(t["name"], t["num_embeddings"], t["embedding_dim"], tuple(t["feature_names"]))
+        TableConfig(t["name"], t["num_embeddings"], t["embedding_dim"],
+                    tuple(t["feature_names"]), t.get("dtype"))
         for t in d["tables"]
     )
     features = tuple(

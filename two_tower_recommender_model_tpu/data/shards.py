@@ -66,19 +66,35 @@ def write_shard(path: str, columns: Mapping[str, np.ndarray], compress: bool = T
     return nrows
 
 
-def read_shard(path: str, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
+def read_shard(
+    path: str, columns: Sequence[str] | None = None, mmap: bool = False
+) -> dict[str, np.ndarray]:
+    """`mmap=True` maps uncompressed columns straight from the page cache
+    (zero-copy until touched) — the fast path for pre-packed uncompressed
+    datasets (`data/prepacked.py`). Compressed columns always inflate.
+    Unrequested columns are seeked past, never read."""
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
             raise ValueError(f"{path}: bad magic")
         hlen = int.from_bytes(f.read(8), "little")
         header = json.loads(f.read(hlen))
         out = {}
+        off = len(MAGIC) + 8 + hlen
         for col in header["columns"]:
-            stored = f.read(col["stored_bytes"])
             if columns is not None and col["name"] not in columns:
+                f.seek(col["stored_bytes"], 1)
+                off += col["stored_bytes"]
                 continue
-            raw = zlib.decompress(stored) if col["compressed"] else stored
-            arr = np.frombuffer(raw, dtype=np.dtype(col["dtype"])).reshape(col["shape"])
+            dtype = np.dtype(col["dtype"])
+            shape = tuple(col["shape"])
+            if mmap and not col["compressed"]:
+                arr = np.memmap(path, dtype=dtype, mode="r", offset=off, shape=shape)
+                f.seek(col["stored_bytes"], 1)
+            else:
+                stored = f.read(col["stored_bytes"])
+                raw = zlib.decompress(stored) if col["compressed"] else stored
+                arr = np.frombuffer(raw, dtype=dtype).reshape(shape)
+            off += col["stored_bytes"]
             out[col["name"]] = arr
     return out
 
@@ -94,10 +110,12 @@ class ShardWriter:
     """Stream rows into a shard directory with a row limit per shard (the
     `size_limit` role of `dataframe_to_mds`), writing `index.json` on close."""
 
-    def __init__(self, out_dir: str, rows_per_shard: int = 1 << 18, compress: bool = True):
+    def __init__(self, out_dir: str, rows_per_shard: int = 1 << 18, compress: bool = True,
+                 extra_index: Mapping | None = None):
         self.out_dir = out_dir
         self.rows_per_shard = rows_per_shard
         self.compress = compress
+        self.extra_index = dict(extra_index) if extra_index else None
         self._buf: dict[str, list[np.ndarray]] = {}
         self._buf_rows = 0
         self._shards: list[dict] = []
@@ -136,6 +154,8 @@ class ShardWriter:
             "total_rows": sum(s["rows"] for s in self._shards),
             "shards": self._shards,
         }
+        if getattr(self, "extra_index", None):
+            index.update(self.extra_index)
         with open(os.path.join(self.out_dir, INDEX_NAME), "w") as f:
             json.dump(index, f, indent=1)
         self._index = index
@@ -153,11 +173,15 @@ def write_dataset(
     batches: Iterator[Mapping[str, np.ndarray]] | Mapping[str, np.ndarray],
     rows_per_shard: int = 1 << 18,
     compress: bool = True,
+    extra_index: Mapping | None = None,
 ) -> dict:
     """Write a full dataset dir from one dict-of-columns or an iterator of them."""
     if isinstance(batches, Mapping):
         batches = [batches]
-    with ShardWriter(out_dir, rows_per_shard, compress) as w:
+    extra = dict(extra_index or {})
+    if not compress:
+        extra.setdefault("uncompressed", True)
+    with ShardWriter(out_dir, rows_per_shard, compress, extra_index=extra) as w:
         for b in batches:
             w.write(b)
     return w.close()
@@ -171,7 +195,7 @@ class ShardedDataset:
     builds on this machine; `use_native=False` forces the pure-Python path.
     """
 
-    def __init__(self, path: str, use_native: bool | None = None):
+    def __init__(self, path: str, use_native: bool | None = None, mmap: bool | None = None):
         self.path = path
         with open(os.path.join(path, INDEX_NAME)) as f:
             self.index = json.load(f)
@@ -179,10 +203,16 @@ class ShardedDataset:
             raise ValueError(f"{path}: not a ttrs dataset")
         self.shard_files = [s["file"] for s in self.index["shards"]]
         self.shard_row_counts = [s["rows"] for s in self.index["shards"]]
+        # pre-packed uncompressed datasets default to the zero-copy mmap
+        # reader; the native reader's parallel inflate only pays off when
+        # there is something to inflate
+        if mmap is None:
+            mmap = bool(self.index.get("uncompressed"))
+        self.mmap = mmap
         if use_native is None:
             from two_tower_recommender_model_tpu.native.ttrs import native_available
 
-            use_native = native_available()
+            use_native = not mmap and native_available()
         self.use_native = use_native
 
     @property
@@ -195,8 +225,8 @@ class ShardedDataset:
 
     def read_shard(self, i: int, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
         path = os.path.join(self.path, self.shard_files[i])
-        if self.use_native:
+        if self.use_native and not self.mmap:
             from two_tower_recommender_model_tpu.native.ttrs import native_read_shard
 
             return native_read_shard(path, list(columns) if columns is not None else None)
-        return read_shard(path, columns)
+        return read_shard(path, columns, mmap=self.mmap)

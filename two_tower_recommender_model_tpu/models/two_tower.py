@@ -44,12 +44,15 @@ def tower_in_dim(cfg: ModelConfig, tower: TowerConfig) -> int:
 def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     cfg.validate()
     dtype = jnp.dtype(cfg.param_dtype)
-    resolved = cfg.resolved_table_dtype
-    # int8 tables initialize in f32 and are quantized by create_train_state
-    table_dtype = jnp.dtype("float32" if resolved == "int8" else resolved)
+
+    def table_init_dtype(t):
+        # int8 tables initialize in f32 and are quantized by create_train_state
+        td = cfg.table_dtype_of(t.name)
+        return jnp.dtype("float32" if td == "int8" else td)
+
     keys = jax.random.split(rng, len(cfg.tables) + 2)
     tables = {
-        t.name: init_table(k, t.num_embeddings, t.embedding_dim, table_dtype)
+        t.name: init_table(k, t.num_embeddings, t.embedding_dim, table_init_dtype(t))
         for t, k in zip(cfg.tables, keys[:-2])
     }
     return {

@@ -42,6 +42,7 @@ from two_tower_recommender_model_tpu.parallel.planner import (
     COLUMN_SHARDED,
     REPLICATED,
     ROW_SHARDED,
+    TABLE_WISE,
     ShardingPlan,
 )
 from two_tower_recommender_model_tpu.train import optimizer as opt_lib
@@ -66,9 +67,32 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     (`03_model_training.py:812-815`)."""
     from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
+    import numpy as np
+
     rep = NamedSharding(mesh, P())
     tables, accs = {}, {}
+    # table-wise buckets: one [ndev*R, D] row-sharded array per embedding dim
+    # holding every table-wise table at its (owner, offset) slot
+    for bname, b in plan.buckets.items():
+        r = b.rows_per_device
+        member0 = state.tables[b.tables[0]]
+        if isinstance(member0, QuantizedTable):
+            raise NotImplementedError(
+                "int8 tables cannot shard table-wise yet; use row_sharded or replicated"
+            )
+        big = np.zeros((plan.num_devices * r, b.embedding_dim), member0.dtype)
+        big_acc = np.zeros((plan.num_devices * r,), np.float32)
+        for tname in b.tables:
+            spec = plan[tname]
+            arr = np.asarray(state.tables[tname])
+            start = spec.owner * r + spec.bucket_offset
+            big[start : start + arr.shape[0]] = arr
+            big_acc[start : start + arr.shape[0]] = np.asarray(state.adagrad_acc[tname])
+        tables[bname] = jax.device_put(big, NamedSharding(mesh, P(FLAT_AXES, None)))
+        accs[bname] = jax.device_put(big_acc, NamedSharding(mesh, P(FLAT_AXES)))
     for name, spec in plan.specs.items():
+        if spec.strategy == TABLE_WISE:
+            continue  # lives inside its bucket
         t = state.tables[name]
         a = state.adagrad_acc[name]
         if isinstance(t, QuantizedTable) and spec.strategy == COLUMN_SHARDED:
@@ -153,11 +177,26 @@ def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelC
             out = out[:, : t.embedding_dim]
         return out
 
+    # table-wise tables: slice each member back out of its gathered bucket
+    tables, accs = {}, {}
+    bucket_host = {b: _to_host(state.tables[b]) for b in plan.buckets}
+    bucket_acc_host = {b: _to_host(state.adagrad_acc[b]) for b in plan.buckets}
+    for name, spec in plan.specs.items():
+        if spec.strategy == TABLE_WISE:
+            r = plan.buckets[spec.bucket].rows_per_device
+            start = spec.owner * r + spec.bucket_offset
+            n = spec.num_embeddings
+            tables[name] = bucket_host[spec.bucket][start : start + n]
+            accs[name] = bucket_acc_host[spec.bucket][start : start + n]
+        else:
+            tables[name] = unpad(name, state.tables[name])
+            accs[name] = unpad(name, state.adagrad_acc[name])
+
     get = lambda tree: jax.tree.map(_to_host, tree)  # noqa: E731
     return TrainState(
         step=_to_host(state.step),
-        tables={k: unpad(k, v) for k, v in state.tables.items()},
-        adagrad_acc={k: unpad(k, v) for k, v in state.adagrad_acc.items()},
+        tables=tables,
+        adagrad_acc=accs,
         dense_params=get(state.dense_params),
         dense_opt_state=get(state.dense_opt_state),
         item_counts=(None if state.item_counts is None else _to_host(state.item_counts)),
@@ -358,6 +397,14 @@ def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
             w = _pool_weights(fc, feat)
             weights[fc.name] = w
             spec = plan[fc.table]
+            if spec.strategy == TABLE_WISE:
+                # bucket coordinates: owner's shard base + table offset + id.
+                # Dead slots (w == 0) are excluded inside the lookup, so their
+                # translated ids are harmless.
+                r = plan.buckets[spec.bucket].rows_per_device
+                base = spec.owner * r + spec.bucket_offset
+                pooled[fc.name] = lookup(tables[spec.bucket], feat.ids + base, w)
+                continue
             table = tables[fc.table]
             if isinstance(table, QuantizedTable):
                 if spec.strategy == ROW_SHARDED:
@@ -444,12 +491,21 @@ def make_sharded_train_step(
         # Per-table flat (ids [B, Lt], w [B, Lt], row_g [B, Lt, D]) across the
         # features reading that table — aggregation across features happens
         # inside the fused update, matching the dense-autodiff oracle.
+        # Table-wise tables group under their BUCKET (ids translated to
+        # bucket coordinates), so every table-wise table of one dim updates
+        # through ONE collective call.
         per_table: dict[str, list] = {}
         for fc in model_cfg.features:
             feat = batch.features[fc.name]
             w = weights[fc.name]
             row_g = d_pooled[fc.name][:, None, :] * w[..., None].astype(d_pooled[fc.name].dtype)
-            per_table.setdefault(fc.table, []).append((feat.ids, w, row_g))
+            spec = plan[fc.table]
+            if spec.strategy == TABLE_WISE:
+                r = plan.buckets[spec.bucket].rows_per_device
+                base = spec.owner * r + spec.bucket_offset
+                per_table.setdefault(spec.bucket, []).append((feat.ids + base, w, row_g))
+            else:
+                per_table.setdefault(fc.table, []).append((feat.ids, w, row_g))
 
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
@@ -459,18 +515,21 @@ def make_sharded_train_step(
             row_g = jnp.concatenate([p[2] for p in parts], axis=1)
             from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
-            spec = plan[tname]
-            quantized = isinstance(state.tables[tname], QuantizedTable)
-            if spec.strategy == COLUMN_SHARDED:
-                if spec.padded_dim > spec.embedding_dim:
-                    row_g = jnp.pad(
-                        row_g, ((0, 0), (0, 0), (0, spec.padded_dim - spec.embedding_dim))
-                    )
-                upd = column_updates[tname]
-            elif spec.strategy == ROW_SHARDED:
-                upd = q_sharded_update if quantized else sharded_update
+            if tname in plan.buckets:
+                upd = sharded_update  # bucket is a row-sharded array
             else:
-                upd = replicated_update
+                spec = plan[tname]
+                quantized = isinstance(state.tables[tname], QuantizedTable)
+                if spec.strategy == COLUMN_SHARDED:
+                    if spec.padded_dim > spec.embedding_dim:
+                        row_g = jnp.pad(
+                            row_g, ((0, 0), (0, 0), (0, spec.padded_dim - spec.embedding_dim))
+                        )
+                    upd = column_updates[tname]
+                elif spec.strategy == ROW_SHARDED:
+                    upd = q_sharded_update if quantized else sharded_update
+                else:
+                    upd = replicated_update
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
             )

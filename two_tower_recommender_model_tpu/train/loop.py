@@ -124,10 +124,15 @@ def train_val_test(
     sharding=None,
     pad_multiple: int | None = None,
     start_epoch: int = 0,
+    train_epoch_fn: Callable | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     """`start_epoch` supports resume: epochs [start_epoch, epochs) run, so a
     run restored from a mid-training checkpoint continues instead of
-    replaying from epoch 0."""
+    replaying from epoch 0.
+
+    `train_epoch_fn(state, epoch) -> (state, stats)` swaps the inner epoch
+    implementation (e.g. a `train_one_epoch_packed` closure) while keeping the
+    baseline-eval / per-epoch-val / checkpoint orchestration here."""
     results: dict[str, float] = {}
 
     metrics = evaluate(
@@ -140,10 +145,13 @@ def train_val_test(
         logger.log_metrics(results, step=0)
 
     for epoch in range(start_epoch, train_cfg.epochs):
-        state, stats = train_one_epoch(
-            state, train_step, train_batches_factory(epoch), featurizer, train_cfg,
-            eval_step, val_batches_factory, logger, epoch, sharding, pad_multiple,
-        )
+        if train_epoch_fn is not None:
+            state, stats = train_epoch_fn(state, epoch)
+        else:
+            state, stats = train_one_epoch(
+                state, train_step, train_batches_factory(epoch), featurizer, train_cfg,
+                eval_step, val_batches_factory, logger, epoch, sharding, pad_multiple,
+            )
         metrics = evaluate(
             state, eval_step, val_batches_factory(), featurizer,
             train_cfg.limit_val_batches, "val", sharding, pad_multiple,
@@ -175,45 +183,93 @@ def train_one_epoch_packed(
     macro: int = 16,
     prefetch: int = 2,
     num_workers: int = 2,
+    train_cfg: TrainConfig | None = None,
+    tail_step: Callable | None = None,
+    eval_step: Callable | None = None,
+    val_batches_factory: Callable[[], Iterable[dict]] | None = None,
+    val_featurizer: Featurizer | None = None,
+    logger=None,
+    epoch: int = 0,
 ) -> tuple[TrainState, dict[str, float]]:
     """High-throughput epoch: packed device-side featurization + K-step
-    macro-batches through `make_multi_step` (the bench-proven fast feed).
-    `batches` must yield uniform-size column dicts (drop_last loaders);
-    a trailing partial macro is dropped. `num_workers` featurizes+stacks
-    macro groups concurrently (order preserved)."""
+    macro-batches through `make_multi_step`, with the SAME feature surface as
+    `train_one_epoch` (the reference's `train`, `03_model_training.py:568-630`):
+
+    - `train_cfg.limit_train_batches` truncation,
+    - mid-epoch validation every `train_cfg.validation_freq` steps (checked at
+      macro boundaries — the packed analog of the reference's `batched(...)`
+      chunking, `03_model_training.py:595-617`),
+    - trailing partial macro: fed batch-by-batch through `tail_step` (e.g.
+      `make_packed_train_step(...)`) instead of being dropped.
+
+    `num_workers` featurizes+stacks macro groups concurrently (order kept)."""
     import jax
 
     from two_tower_recommender_model_tpu.train.step import stack_batches
 
+    it = iter(batches)
+    if train_cfg is not None and train_cfg.limit_train_batches is not None:
+        it = itertools.islice(it, train_cfg.limit_train_batches)
+    vfreq = train_cfg.validation_freq if train_cfg is not None else None
+    can_validate = vfreq and eval_step is not None and val_batches_factory is not None
+
+    tail: list = []
+
     def groups():
         g = []
-        for cols in batches:
+        for cols in it:
             g.append(cols)
             if len(g) == macro:
                 yield g
                 g = []
+        tail.extend(g)
 
     def assemble(group):
         return stack_batches([packed_featurizer(c) for c in group])
 
+    def maybe_validate(state, steps, next_val):
+        if not can_validate or steps < next_val:
+            return next_val
+        metrics = evaluate(
+            state, eval_step, val_batches_factory(), val_featurizer or packed_featurizer,
+            train_cfg.limit_val_batches, "val",
+        )
+        log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
+        if logger is not None:
+            logger.log_metrics(metrics, step=int(state.step))
+        while next_val <= steps:
+            next_val += vfreq
+        return next_val
+
     steps = 0
     examples = 0
+    next_val = vfreq or 0
     t0 = time.perf_counter()
-    out = None
+    last_loss = None
     for mb in pipeline_lib.prefetch_to_device(
         groups(), assemble, prefetch=prefetch, num_workers=num_workers
     ):
         state, out = multi_step(state, mb)
+        last_loss = out["loss"][-1]
         k, b = mb.ids_raw.shape[:2]
         steps += k
         examples += k * b
-    if out is not None:
-        jax.block_until_ready(out["loss"])
+        next_val = maybe_validate(state, steps, next_val)
+    if tail and tail_step is not None:
+        for cols in tail:
+            pb = jax.tree.map(jax.device_put, packed_featurizer(cols))
+            state, out = tail_step(state, pb)
+            last_loss = out["loss"]
+            steps += 1
+            examples += pb.batch_size
+            next_val = maybe_validate(state, steps, next_val)
+    if last_loss is not None:
+        last_loss = float(jax.block_until_ready(last_loss))
     dt = time.perf_counter() - t0
     return state, {
         "train_steps": steps,
         "train_examples": examples,
-        "train_loss": float(out["loss"][-1]) if out is not None else float("nan"),
+        "train_loss": last_loss if last_loss is not None else float("nan"),
         "examples_per_sec": examples / dt if dt > 0 else 0.0,
         "epoch_time_s": dt,
     }

@@ -85,6 +85,15 @@ def sparse_rowwise_adagrad(
     return new_table, new_acc
 
 
+def pick_sparse_update(num_rows: int, batch_slots: int):
+    """Update-path policy, measured on v5e (DESIGN §6c): the sorted-segment
+    path costs two 64k sorts + segment ops + scatter (~3.6ms/table at B=64k,
+    N=206k); the transient-dense path costs O(N*D) streaming traffic but no
+    sort (~1.8ms same shapes) and wins while the batch touches a sizable
+    fraction of the table. Crossover modeled at N ~ 8*B."""
+    return dense_rowwise_adagrad if num_rows <= 8 * batch_slots else sparse_rowwise_adagrad
+
+
 def dense_rowwise_adagrad(
     table: jax.Array,
     acc: jax.Array,

@@ -67,10 +67,13 @@ def create_train_state(
     rng: jax.Array, model_cfg: ModelConfig, train_cfg: TrainConfig
 ) -> tuple[TrainState, optax.GradientTransformation]:
     params = two_tower.init_params(rng, model_cfg)
-    if model_cfg.resolved_table_dtype == "int8":
+    if any(model_cfg.table_dtype_of(t.name) == "int8" for t in model_cfg.tables):
         from two_tower_recommender_model_tpu.ops.quantized import quantize_table
 
-        params["tables"] = {k: quantize_table(v) for k, v in params["tables"].items()}
+        params["tables"] = {
+            k: quantize_table(v) if model_cfg.table_dtype_of(k) == "int8" else v
+            for k, v in params["tables"].items()
+        }
     dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
     dense_params = dense_param_tree(params)
     item_counts = None
@@ -116,14 +119,19 @@ def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     dense_opt: optax.GradientTransformation,
-    sparse_update: Callable = opt_lib.sparse_rowwise_adagrad,
+    sparse_update: Callable | None = None,
     donate: bool = True,
     jit: bool = True,
 ):
     """Single-device jitted train step. The multi-chip version with sharded
     tables lives in `parallel/sharded.py` and shares stages B/C.
     `jit=False` returns the raw traceable step (for composition under
-    `lax.scan`, see `make_multi_step`)."""
+    `lax.scan`, see `make_multi_step`).
+
+    `sparse_update=None` picks the fused-update implementation per table at
+    trace time (`opt_lib.pick_sparse_update`): transient-dense scatter-add
+    when the batch touches a sizable table fraction, sorted-segment otherwise
+    — both compute identical row-wise Adagrad (oracle-tested)."""
     loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg)
 
     cand_feature = model_cfg.candidate_tower.features[0]
@@ -162,11 +170,14 @@ def make_train_step(
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
         for tname, (fids, fgrads) in _table_flat_grads(model_cfg, batch, d_pooled).items():
-            upd = (
-                quantized_rowwise_adagrad
-                if isinstance(state.tables[tname], QuantizedTable)
-                else sparse_update
-            )
+            if isinstance(state.tables[tname], QuantizedTable):
+                upd = quantized_rowwise_adagrad
+            elif sparse_update is not None:
+                upd = sparse_update
+            else:
+                upd = opt_lib.pick_sparse_update(
+                    model_cfg.table(tname).num_embeddings, fids.shape[0]
+                )
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname],
                 state.adagrad_acc[tname],
