@@ -35,6 +35,13 @@ def have(out: str) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/instacart")
+    ap.add_argument("--replica", action="store_true",
+                    help="generate the full-scale schema-faithful replica instead "
+                         "of downloading (offline environments)")
+    ap.add_argument("--replica-users", type=int, default=None,
+                    help="override replica user count (default: real 206,209)")
+    ap.add_argument("--replica-products", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -43,15 +50,24 @@ def main() -> int:
         print(f"all {len(EXPECTED)} CSVs already present in {args.out}")
         return 0
 
-    if shutil.which("kaggle") is None:
-        print(
-            f"missing files: {missing}\n"
-            "kaggle CLI not found (or offline environment). Manual path:\n"
-            f"  1. download https://www.kaggle.com/datasets/{DATASET}\n"
-            f"  2. unzip the CSVs into {args.out}\n",
-            file=sys.stderr,
+    if args.replica or shutil.which("kaggle") is None:
+        if not args.replica:
+            print("kaggle CLI not found — generating the schema-faithful replica "
+                  "(pass real CSVs via --out to use organic data)", file=sys.stderr)
+        from two_tower_recommender_model_tpu.data.replica import (
+            REAL_PRODUCTS,
+            REAL_USERS,
+            write_instacart_replica,
         )
-        return 1
+
+        stats = write_instacart_replica(
+            args.out,
+            num_users=args.replica_users or REAL_USERS,
+            num_products=args.replica_products or REAL_PRODUCTS,
+            seed=args.seed,
+        )
+        print(f"replica ready in {args.out}: {stats}")
+        return 0
 
     subprocess.run(
         ["kaggle", "datasets", "download", "-d", DATASET, "-p", args.out], check=True

@@ -29,7 +29,7 @@ def parse_args():
     ap.add_argument("--layer-sizes", type=int, nargs="+", default=[128, 64])
     ap.add_argument("--learning-rate", type=float, default=1e-3)
     ap.add_argument("--sparse-learning-rate", type=float, default=1e-2)
-    ap.add_argument("--loss", choices=["bce", "sampled_softmax"], default="bce")
+    ap.add_argument("--loss", choices=["bce", "sampled_softmax", "weighted_bce"], default="bce")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--validation-freq", type=int, default=None)
     ap.add_argument("--limit-train-batches", type=int, default=None)

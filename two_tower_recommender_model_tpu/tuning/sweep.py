@@ -111,6 +111,24 @@ class SweepResult:
         return "\n".join(lines)
 
 
+def call_trial(trial_fn, config, trial_index, logger_root):
+    """One trial invocation + per-trial logger dir; top-level so it pickles
+    into worker processes."""
+    try:
+        metrics = dict(trial_fn(dict(config)))
+        err = None
+    except Exception:
+        metrics, err = {}, traceback.format_exc()
+    if logger_root is not None:
+        from two_tower_recommender_model_tpu.utils.tracking import ExperimentLogger
+
+        tl = ExperimentLogger(logger_root, run_id=f"trial_{trial_index:04d}")
+        tl.log_params(config)
+        if err is None:
+            tl.log_metrics(metrics)
+    return trial_index, config, metrics, err
+
+
 def run_sweep(
     trial_fn: Callable[[dict], Mapping[str, float]],
     space: Mapping[str, Any],
@@ -118,12 +136,26 @@ def run_sweep(
     metric: str = "val_loss",
     mode: str = "min",
     seed: int = 0,
-    search: str = "random",  # "random" | "grid"
+    search: str = "random",  # "random" | "grid" | "tpe"
     logger_root: str | None = None,
     raise_on_failure: bool = False,
+    max_workers: int = 1,
 ) -> SweepResult:
     """Run trials of `trial_fn(config) -> metrics`. Failures are recorded, not
-    fatal (the reference's trials likewise report per-trial status)."""
+    fatal (the reference's trials likewise report per-trial status).
+    `search="tpe"` routes to the adaptive sampler (`tuning/adaptive.py`);
+    `max_workers > 1` runs trials concurrently in OS processes (trial_fn must
+    be picklable) — the `max_concurrent_trials` role of the reference's Tune
+    setup (`ray_tune_optuna_tuning_alex_test.py:654-659`)."""
+    if search == "tpe":
+        from two_tower_recommender_model_tpu.tuning.adaptive import run_adaptive_sweep
+
+        if num_trials is None:
+            raise ValueError("tpe search requires num_trials")
+        return run_adaptive_sweep(
+            trial_fn, space, num_trials, metric=metric, mode=mode, seed=seed,
+            max_workers=max_workers, logger_root=logger_root,
+        )
     if search == "grid":
         configs = grid_space(space)
         if num_trials is not None:
@@ -137,21 +169,28 @@ def run_sweep(
         ]
 
     results: list[TrialResult] = []
-    for i, config in enumerate(configs):
-        try:
-            metrics = dict(trial_fn(dict(config)))
-            results.append(TrialResult(i, config, metrics))
-            log.info("trial %d: %s -> %s", i, config, metrics.get(metric))
-        except Exception as e:
-            if raise_on_failure:
-                raise
-            results.append(TrialResult(i, config, {}, error=traceback.format_exc()))
-            log.warning("trial %d failed: %s", i, e)
-        if logger_root is not None:
-            from two_tower_recommender_model_tpu.utils.tracking import ExperimentLogger
+    if max_workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
 
-            tl = ExperimentLogger(logger_root, run_id=f"trial_{i:04d}")
-            tl.log_params(config)
-            if results[-1].error is None:
-                tl.log_metrics(results[-1].metrics)
+        with ProcessPoolExecutor(max_workers=max_workers) as pool:
+            futs = [
+                pool.submit(call_trial, trial_fn, cfg, i, logger_root)
+                for i, cfg in enumerate(configs)
+            ]
+            for fut in futs:
+                i, config, metrics, err = fut.result()
+                if err is not None and raise_on_failure:
+                    raise RuntimeError(err)
+                results.append(TrialResult(i, config, metrics, error=err))
+        results.sort(key=lambda t: t.index)
+        return SweepResult(results, metric, mode)
+    for i, config in enumerate(configs):
+        i, config, metrics, err = call_trial(trial_fn, config, i, logger_root)
+        if err is not None:
+            if raise_on_failure:
+                raise RuntimeError(err)
+            log.warning("trial %d failed: %s", i, err.splitlines()[-1])
+        else:
+            log.info("trial %d: %s -> %s", i, config, metrics.get(metric))
+        results.append(TrialResult(i, config, metrics, error=err))
     return SweepResult(results, metric, mode)
