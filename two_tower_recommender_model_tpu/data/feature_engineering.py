@@ -43,43 +43,58 @@ def sample_negatives(
     `02_feature_engineering.py:53-58`). Rejection-sampled vectorized."""
     rng = np.random.default_rng(seed)
     all_items = np.asarray(all_items)
-    unique_items = pd.unique(all_items)
-    pos_sets = positives.groupby(user_col)[item_col].apply(set)
-    users_out, items_out = [], []
-    for user, pos_set in pos_sets.items():
-        n = len(pos_set)
-        complement = len(unique_items) - len(pos_set & set(unique_items))
-        if complement <= 0:
-            raise ValueError(
-                f"user {user!r} has positives covering the whole catalog; "
-                "cannot sample distinct negatives"
-            )
-        # rejection sampling; dedupe every round against positives AND prior
-        # draws so the emitted (user, item) negatives are distinct pairs.
-        # Request count is capped by the complement size, so termination is
-        # guaranteed.
-        take_n = min(n, complement)
-        drawn: set = set()
-        draws = []
-        need = take_n
-        while need > 0:
-            cand = rng.choice(all_items, size=max(2 * need, 8), replace=True)
-            fresh = []
-            for c in pd.unique(cand):
-                if c not in pos_set and c not in drawn:
-                    fresh.append(c)
-                    drawn.add(c)
-                    if len(fresh) + (take_n - need) >= take_n:
-                        break
-            take = np.array(fresh[:need], dtype=all_items.dtype)
-            draws.append(take)
-            need -= len(take)
-        users_out.append(np.full(take_n, user))
-        items_out.append(np.concatenate(draws)[:take_n])
+    unique_items = np.unique(all_items)
+
+    # Fully vectorized global rejection sampling (the per-user Python-loop
+    # version took hours at 206k users x 18M positives): one candidate slot
+    # per needed negative; every round, reject candidates colliding with the
+    # user's positives or an already-accepted negative (via sorted int64
+    # (user, item) pair keys + searchsorted membership) and redraw only the
+    # unfilled slots.
+    users_arr = positives[user_col].to_numpy()
+    items_arr = positives[item_col].to_numpy()
+    uniq_users, pos_counts = np.unique(users_arr, return_counts=True)
+    # membership keys: user * K + item_index (dense item indexing keeps the
+    # key within int64 for arbitrary raw id ranges)
+    k_items = len(unique_items)
+    pos_item_idx = np.searchsorted(unique_items, items_arr)
+    user_rank_arr = np.searchsorted(uniq_users, users_arr)
+    pos_keys = np.sort(user_rank_arr.astype(np.int64) * k_items + pos_item_idx)
+
+    # negatives per user capped by the complement size (termination guarantee)
+    # distinct positives per user == group size here (positives are distinct)
+    complement = k_items - pos_counts
+    if (complement <= 0).any():
+        bad = uniq_users[complement <= 0][0]
+        raise ValueError(
+            f"user {bad!r} has positives covering the whole catalog; "
+            "cannot sample distinct negatives"
+        )
+    take_n = np.minimum(pos_counts, complement)
+
+    slot_user_rank = np.repeat(np.arange(len(uniq_users), dtype=np.int64), take_n)
+    total = len(slot_user_rank)
+    filled_item_idx = np.empty(total, np.int64)
+    unfilled = np.arange(total)
+    taken_keys = pos_keys  # membership: positives + accepted negatives
+    while len(unfilled):
+        cand = rng.integers(0, k_items, size=len(unfilled))
+        keys = slot_user_rank[unfilled] * k_items + cand
+        # reject: collision with positives/accepted, or duplicate within round
+        first = np.zeros(len(keys), bool)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        first[order] = np.concatenate([[True], ks[1:] != ks[:-1]])
+        pos_hit = np.searchsorted(taken_keys, keys)
+        collide = (pos_hit < len(taken_keys)) & (taken_keys[np.minimum(pos_hit, len(taken_keys) - 1)] == keys)
+        ok = first & ~collide
+        filled_item_idx[unfilled[ok]] = cand[ok]
+        taken_keys = np.sort(np.concatenate([taken_keys, keys[ok]]))
+        unfilled = unfilled[~ok]
     neg = pd.DataFrame(
         {
-            user_col: np.concatenate(users_out),
-            item_col: np.concatenate(items_out),
+            user_col: uniq_users[slot_user_rank],
+            item_col: unique_items[filled_item_idx],
             "label": np.int64(0),
         }
     )
