@@ -193,3 +193,46 @@ def test_per_table_dtype_mix():
     d = _json.loads(cfg_lib.to_json(mcfg))
     mcfg2 = cfg_lib.model_config_from_dict(d)
     assert mcfg2.table("t_b").dtype == "int8" and mcfg2.table("t_a").dtype is None
+
+
+def test_text_side_features_end_to_end():
+    """Text embeddings feed the candidate tower through training AND the
+    retrieval export (export_feature_embeddings(dense=...)) — the trained
+    model with text features must beat random retrieval, and the export must
+    match the forward pass when dense inputs are supplied."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "text_side_features",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "text_side_features.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(num_users=300, num_items=120, text_dim=16, steps=120)
+    assert np.isfinite(out["loss"])
+    assert out["recall_at_10"] > 3 * 10 / 120, out
+
+
+def test_export_dense_matches_forward():
+    """Exported embedding with per-id dense == tower forward on a batch
+    carrying the same dense values."""
+    from two_tower_recommender_model_tpu.models.two_tower import forward, init_params
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=30, num_items=20, embedding_dim=8,
+                                          layer_sizes=(16, 4))
+    mcfg = dataclasses.replace(
+        mcfg, candidate_tower=dataclasses.replace(mcfg.candidate_tower, dense_dim=3))
+    params = init_params(jax.random.key(0), mcfg)
+    feat = Featurizer(mcfg)
+    ids = np.array([1, 5, 19])
+    dense_all = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+    batch = feat({"user_id": np.array([7, 7, 7]), "product_id": ids,
+                  "label": np.zeros(3)})
+    batch = batch.replace(dense=dense_all[ids])
+    batch = jax.tree.map(jnp.asarray, batch)
+    _, cand = forward(params, batch, mcfg)
+    exported = export_feature_embeddings(params, mcfg, "product_id", dense=dense_all)
+    np.testing.assert_allclose(exported[ids], np.asarray(cand), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="dense"):
+        export_feature_embeddings(params, mcfg, "product_id", dense=dense_all[:5])

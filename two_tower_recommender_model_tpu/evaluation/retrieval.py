@@ -44,10 +44,14 @@ def export_feature_embeddings(
     feature_name: str,
     ids: np.ndarray | None = None,
     batch_size: int = 8192,
+    dense: np.ndarray | None = None,
 ) -> np.ndarray:
     """Tower-space embeddings for every id of one feature, all other features
     of that tower pooled to zero (exactly the reference's 0-length-bag trick
-    for the non-target key, `03_model_training.py:1068-1093`)."""
+    for the non-target key, `03_model_training.py:1068-1093`).
+
+    `dense` ([len(ids), tower.dense_dim]) supplies the tower's dense side
+    input per id (e.g. item text-feature vectors); zeros when omitted."""
     tower_key, tower = _tower_for_feature(model_cfg, feature_name)
     fc = model_cfg.feature(feature_name)
     table_cfg = model_cfg.table(fc.table)
@@ -66,6 +70,12 @@ def export_feature_embeddings(
     # same modulo-hash as the training featurizer — raw ids outside [0, N)
     # must hit the same row they trained on (jnp.take would clamp instead)
     ids = np.asarray(ids) % table_cfg.num_embeddings
+    if dense is not None:
+        dense = np.asarray(dense, np.float32)
+        if dense.shape != (len(ids), tower.dense_dim):
+            raise ValueError(
+                f"dense {dense.shape} != ({len(ids)}, {tower.dense_dim})"
+            )
 
     bs = min(batch_size, len(ids))
     run_chunk = functools.partial(
@@ -74,16 +84,23 @@ def export_feature_embeddings(
     out = []
     for start in range(0, len(ids), bs):
         chunk = ids[start : start + bs]
+        dchunk = None if dense is None else dense[start : start + bs]
         pad = bs - len(chunk)  # pad the tail chunk so one jit compile serves all
         if pad:
             chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-        emb = np.asarray(run_chunk(table, tower_params, jnp.asarray(chunk)))
+            if dchunk is not None:
+                dchunk = np.concatenate([dchunk, np.zeros((pad, dchunk.shape[1]), dchunk.dtype)])
+        emb = np.asarray(run_chunk(
+            table, tower_params, jnp.asarray(chunk),
+            None if dchunk is None else jnp.asarray(dchunk),
+        ))
         out.append(emb[: bs - pad])
     return np.concatenate(out, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "feature_name", "tower_key"))
-def _export_chunk(table, tower_params, chunk_ids, *, model_cfg, feature_name, tower_key):
+def _export_chunk(table, tower_params, chunk_ids, dense, *, model_cfg, feature_name,
+                  tower_key):
     # module-level jit: cached across export calls (configs are hashable
     # frozen dataclasses, so they key the cache as static args)
     tower = getattr(model_cfg, tower_key)
@@ -96,7 +113,8 @@ def _export_chunk(table, tower_params, chunk_ids, *, model_cfg, feature_name, to
             dim = model_cfg.feature_table(f).embedding_dim
             xs.append(jnp.zeros((rows.shape[0], dim), rows.dtype))
     if tower.dense_dim:
-        xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype))
+        xs.append(jnp.zeros((rows.shape[0], tower.dense_dim), rows.dtype)
+                  if dense is None else dense.astype(rows.dtype))
     x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
     return apply_mlp(tower_params, x, tower.activation, tower.final_activation,
                      jnp.dtype(model_cfg.compute_dtype))
@@ -148,13 +166,22 @@ def evaluate_retrieval(
     max_users: int = 10_000,
     ks: tuple[int, ...] = (10, 100),
     exclude_item_zero: bool = True,
+    query_dense: np.ndarray | None = None,  # [num_query_ids_total, Dq] per raw id
+    candidate_dense: np.ndarray | None = None,  # [num_items, Dc] per raw id
 ) -> dict[str, float]:
     """The full `04_evaluate_retrieval.py` protocol: held-out positives per
     user (`:42-58`), top-k search per user (k=100 over <=10k users, `:131-141`),
-    averaged retriever metrics (`:202-226`)."""
+    averaged retriever metrics (`:202-226`). `candidate_dense`/`query_dense`
+    supply per-id dense tower inputs (e.g. item text features) indexed by raw
+    id."""
     users = np.array(sorted(user_positives.keys())[:max_users])
-    user_emb = export_feature_embeddings(params, model_cfg, query_feature, ids=users)
-    item_emb = export_feature_embeddings(params, model_cfg, candidate_feature)
+    user_emb = export_feature_embeddings(
+        params, model_cfg, query_feature, ids=users,
+        dense=None if query_dense is None else np.asarray(query_dense)[users],
+    )
+    item_emb = export_feature_embeddings(
+        params, model_cfg, candidate_feature, dense=candidate_dense,
+    )
     start = 1 if exclude_item_zero else 0  # id 0 = missing sentinel
     corpus = jnp.asarray(item_emb[start:])
     _, idx = chunked_topk(jnp.asarray(user_emb), corpus, k=k)
