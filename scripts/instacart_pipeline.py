@@ -45,6 +45,8 @@ def main():
                     help="existing Instacart CSVs (skips fetch)")
     ap.add_argument("--smoke", action="store_true",
                     help="subsampled run (8k users) for CI/smoke")
+    ap.add_argument("--packed", action="store_true",
+                    help="write pre-packed shards (mmap fast path)")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--loss", choices=["bce", "sampled_softmax", "weighted_bce"],
@@ -68,6 +70,8 @@ def main():
 
     prep = [py, os.path.join(SCRIPTS, "prepare_instacart.py"), "--csv-dir", csv_dir,
             "--out", shards, "--seed", str(args.seed)]
+    if args.packed:
+        prep.append("--packed")
     run(prep)
 
     with open(os.path.join(shards, "meta.json")) as f:

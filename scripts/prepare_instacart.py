@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rows-per-shard", type=int, default=1 << 18)
     ap.add_argument("--max-users", type=int, default=None, help="subsample for smoke runs")
+    ap.add_argument("--packed", action="store_true",
+                    help="write PRE-PACKED uncompressed shards (device-layout "
+                         "columns, mmap fast path — data/prepacked.py); "
+                         "train.py auto-detects them")
     args = ap.parse_args()
 
     import numpy as np
@@ -57,9 +61,22 @@ def main():
     splits = splits_to_columns(indexed)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.packed:
+        from two_tower_recommender_model_tpu import config as cfg_lib
+        from two_tower_recommender_model_tpu.data.prepacked import pack_dataset
+
+        mcfg = cfg_lib.two_tower_model_config(
+            num_users=len(mappings["user_id"]) + 1,
+            num_items=len(mappings["product_id"]) + 1,
+        )
     for name, cols in splits.items():
-        idx = write_dataset(os.path.join(args.out, name), cols, args.rows_per_shard)
-        print(f"{name}: {idx['total_rows']} rows, {len(idx['shards'])} shards")
+        if args.packed:
+            idx = pack_dataset(os.path.join(args.out, name), mcfg, cols,
+                               rows_per_shard=args.rows_per_shard)
+        else:
+            idx = write_dataset(os.path.join(args.out, name), cols, args.rows_per_shard)
+        print(f"{name}: {idx['total_rows']} rows, {len(idx['shards'])} shards"
+              + (" (packed)" if args.packed else ""))
 
     # +1: table sizes INCLUDE the reserved id-0 missing sentinel — indices are
     # 1-based up to len(mapping), so a table of exactly len(mapping) rows would

@@ -66,23 +66,28 @@ def test_replica_has_learnable_preference_signal():
 
 
 @pytest.mark.slow
-def test_pipeline_end_to_end_subprocess(tmp_path):
+@pytest.mark.parametrize("packed", [False, True], ids=["raw", "packed"])
+def test_pipeline_end_to_end_subprocess(tmp_path, packed):
     """fetch(replica) -> prepare -> train -> evaluate_retrieval as real CLI
-    subprocesses on CPU; retrieval metrics emitted at the reference protocol."""
+    subprocesses on CPU; retrieval metrics emitted at the reference protocol.
+    The packed variant writes pre-packed mmap shards and must produce the
+    same protocol output."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     # drop the 8-virtual-device flag pytest's conftest sets: the subprocess
     # should run the single-device packed path like a user shell would
     env.pop("XLA_FLAGS", None)
     work = str(tmp_path / "run")
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "instacart_pipeline.py"),
-         "--work", work, "--smoke", "--epochs", "1", "--batch-size", "1024"],
-        env=env, capture_output=True, text=True, timeout=540,
-        cwd=REPO,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "instacart_pipeline.py"),
+           "--work", work, "--smoke", "--epochs", "1", "--batch-size", "1024"]
+    if packed:
+        cmd.append("--packed")
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=540,
+                       cwd=REPO)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "PIPELINE COMPLETE" in r.stdout
     with open(os.path.join(work, "retrieval_metrics.json")) as f:
         m = json.load(f)
     assert m["num_users"] > 1000
     assert np.isfinite(m["recall_at_100"]) and 0 <= m["recall_at_100"] <= 1
+    if packed:
+        assert "(packed)" in r.stdout
