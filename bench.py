@@ -8,10 +8,11 @@ dim 128, towers [128, 64], BCE loss, fused row-wise Adagrad (sparse) + Adam
 via the prefetching pipeline.
 
 Methodology (defensibility guarantees, in order):
-1. every dispatched macro-batch carries a DISTINCT host payload (a 37-batch
-   pool cycled under a 32-batch macro never repeats a stacked payload within
-   a run) — the axon tunnel dedupes byte-identical dispatches, which round 1
-   measured as impossible throughput;
+1. every dispatched macro-batch carries a DISTINCT host payload (the host
+   batch pool is sized past the macro count and coprime with the macro size,
+   so no stacked payload repeats within a run) — the axon tunnel dedupes
+   byte-identical dispatches, which round 1 measured as impossible
+   throughput;
 2. the reported value is the MEDIAN of >=5 timed windows; the full per-window
    list ships in the JSON;
 3. a roofline guard models HBM bytes/step and MXU FLOPs/step; the script

@@ -185,3 +185,47 @@ def test_table_wise_eval_matches_single(setup):
                                float(mean_compute(ref_es.loss)), rtol=1e-5)
     np.testing.assert_allclose(float(auroc_compute(es.auroc)),
                                float(auroc_compute(ref_es.auroc)), rtol=1e-5)
+
+
+def test_sharded_multi_step_matches_sequential(setup):
+    """K-step packed macro scan over the sharded step == K sequential sharded
+    steps == single-device — the multi-chip fast path (make_sharded_multi_step)."""
+    import numpy as np
+
+    from two_tower_recommender_model_tpu.data.device_featurizer import PackedFeaturizer
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.parallel import (
+        macro_batch_sharding, make_sharded_multi_step)
+    from two_tower_recommender_model_tpu.train.step import stack_batches
+
+    mcfg, tcfg, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": TABLE_WISE})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+
+    ds = SyntheticClickstream(100, 60, seed=2)
+    pf = PackedFeaturizer(mcfg, pack_label=True)
+    host_cols = [ds.sample(64, start=i) for i in range(4)]
+
+    # sequential sharded reference
+    ref = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    feat = Featurizer(mcfg)
+    for cols in host_cols:
+        b = jax.tree.map(jnp.asarray, feat(cols))
+        ref, ref_out = step(ref, _put_batch(b, mesh))
+
+    # packed macro scan
+    sh = shard_train_state(state, plan, mesh)
+    multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    mb = stack_batches([pf(c) for c in host_cols])
+    msh = macro_batch_sharding(mesh)
+    mb = jax.tree.map(lambda x: jax.device_put(x, msh(x)), mb)
+    sh, out = multi(sh, mb)
+
+    np.testing.assert_allclose(float(out["loss"][-1]), float(ref_out["loss"]), rtol=1e-5)
+    a = unshard_train_state(sh, plan, mcfg)
+    b = unshard_train_state(ref, plan, mcfg)
+    for name in a.tables:
+        np.testing.assert_allclose(a.tables[name], b.tables[name], rtol=1e-5, atol=1e-7)

@@ -33,6 +33,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
+from two_tower_recommender_model_tpu.data.device_featurizer import unpack_batch
 from two_tower_recommender_model_tpu.data.featurizer import Batch
 from two_tower_recommender_model_tpu.models import losses as losses_lib
 from two_tower_recommender_model_tpu.models import two_tower
@@ -438,6 +439,7 @@ def make_sharded_train_step(
     mesh,
     plan: ShardingPlan,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Multi-chip train step: same two-stage backward as the single-device
     step (`train/step.py`), with sharded lookup/update collectives. Dense
@@ -544,7 +546,52 @@ def make_sharded_train_step(
         )
         return new_state, {"loss": loss, "logits": logits}
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    dense_opt: optax.GradientTransformation,
+    mesh,
+    plan: ShardingPlan,
+    pack_label: bool = True,
+    donate: bool = True,
+):
+    """Multi-chip packed fast path: K sharded train steps per dispatch —
+    `lax.scan` over a stacked `PackedBatch` (leading axis K; batch axis
+    sharded over data) with the device-side unpack fused in. The multi-chip
+    form of `make_multi_step` + `unpack_batch`; use `macro_batch_sharding`
+    to place the macro payload."""
+
+    core = make_sharded_train_step(
+        model_cfg, train_cfg, dense_opt, mesh, plan, donate=False, jit=False
+    )
+
+    def multi(state: TrainState, packed_mb):
+        def body(carry, pb):
+            new_state, out = core(
+                carry, unpack_batch(pb, model_cfg, pack_label=pack_label)
+            )
+            return new_state, out["loss"]
+
+        state, losses = jax.lax.scan(body, state, packed_mb)
+        return state, {"loss": losses}
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def macro_batch_sharding(mesh) -> Callable:
+    """Leaf -> NamedSharding for stacked macro batches [K, B, ...]: the K
+    axis replicated, the batch axis on data."""
+    def fn(x):
+        if x.ndim < 2 or x.shape[-1] == 0:
+            return NamedSharding(mesh, P())
+        spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        return NamedSharding(mesh, spec)
+    return fn
 
 
 def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh, plan: ShardingPlan):
