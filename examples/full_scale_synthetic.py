@@ -37,8 +37,7 @@ def main(work: str | None = None) -> dict:
     from two_tower_recommender_model_tpu.data.loader import StreamLoader
     from two_tower_recommender_model_tpu.data.shards import write_dataset
     from two_tower_recommender_model_tpu.evaluation import evaluate_retrieval
-    from two_tower_recommender_model_tpu.data.device_featurizer import (
-        PackedFeaturizer, unpack_batch)
+    from two_tower_recommender_model_tpu.data.device_featurizer import unpack_batch
     from two_tower_recommender_model_tpu.train import (
         create_train_state, evaluate, make_eval_step, make_multi_step, make_train_step)
     from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
@@ -60,19 +59,28 @@ def main(work: str | None = None) -> dict:
     df = df.drop_duplicates(["user_id", "product_id"], keep="first")
     t0 = stage(f"interactions ({len(df)} rows, {df.user_id.nunique()} users)", t0)
 
-    # 2. per-user split + shard write (ids already contiguous 1-based)
+    # 2. per-user split + shard write. The TRAIN split is written PRE-PACKED
+    #    (featurize once at write time, mmap reads — data/prepacked.py);
+    #    val/test stay raw columns for the featureful eval path.
+    mcfg = cfg.two_tower_model_config(N_USERS + 1, N_ITEMS + 1, embedding_dim=128,
+                                      layer_sizes=(128, 64))
+    from two_tower_recommender_model_tpu.data.prepacked import (
+        PrepackedFeaturizer, pack_dataset)
+    from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+
     split = per_user_split(df, seed=0)
     splits = splits_to_columns(split, user_col="user_id", item_col="product_id")
     for name, c in splits.items():
-        write_dataset(os.path.join(work, name), c, rows_per_shard=1 << 19)
+        if name == "train":
+            pack_dataset(os.path.join(work, name), mcfg, c, rows_per_shard=1 << 19)
+        else:
+            write_dataset(os.path.join(work, name), c, rows_per_shard=1 << 19)
     t0 = stage(
         "split+shards (" + ", ".join(f"{k}={len(v['label'])}" for k, v in splits.items()) + ")",
         t0,
     )
 
     # 3. streaming training, flagship config
-    mcfg = cfg.two_tower_model_config(N_USERS + 1, N_ITEMS + 1, embedding_dim=128,
-                                      layer_sizes=(128, 64))
     mcfg = dataclasses.replace(
         mcfg,
         query_tower=dataclasses.replace(mcfg.query_tower, final_activation=False),
@@ -80,7 +88,8 @@ def main(work: str | None = None) -> dict:
     tcfg = cfg.TrainConfig(epochs=8, batch_size=65_536, sparse_learning_rate=0.2,
                            learning_rate=3e-3, limit_val_batches=8)
     feat = Featurizer(mcfg)
-    pf = PackedFeaturizer(mcfg, pack_label=True)
+    train_ds = ShardedDataset(os.path.join(work, "train"))
+    pf = PrepackedFeaturizer.for_dataset(train_ds, mcfg)
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
     multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
@@ -88,7 +97,7 @@ def main(work: str | None = None) -> dict:
 
     results = {}
     for epoch in range(tcfg.epochs):
-        loader = StreamLoader(os.path.join(work, "train"), tcfg.batch_size, seed=1)
+        loader = StreamLoader(train_ds, tcfg.batch_size, seed=1, read_workers=2)
         loader.set_epoch(epoch)
         state, stats = train_one_epoch_packed(state, multi, loader, pf, macro=16)
         print(f"  epoch {epoch}: {stats['train_examples']} examples, "

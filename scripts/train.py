@@ -30,6 +30,7 @@ def parse_args():
     ap.add_argument("--learning-rate", type=float, default=1e-3)
     ap.add_argument("--sparse-learning-rate", type=float, default=1e-2)
     ap.add_argument("--loss", choices=["bce", "sampled_softmax", "weighted_bce"], default="bce")
+    ap.add_argument("--softmax-temperature", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--validation-freq", type=int, default=None)
     ap.add_argument("--limit-train-batches", type=int, default=None)
@@ -83,6 +84,7 @@ def main():
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
         loss=args.loss, seed=args.seed, validation_freq=args.validation_freq,
+        softmax_temperature=args.softmax_temperature,
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
         limit_test_batches=args.limit_test_batches,
@@ -162,11 +164,17 @@ def main():
             ckpt.save(int(s.step), s, loader_state=train_loader.state_dict(),
                       extra={"completed_epoch": epoch}, wait=True)
 
-    # Packed macro-batch fast path (default when unsharded): device-side
-    # featurization + K-step scan dispatches, full train_val_test semantics
-    # (mid-epoch validation, limits, tail batches) via train_one_epoch_packed.
+    # Packed macro-batch fast path (default): device-side featurization +
+    # K-step scan dispatches, full train_val_test semantics (mid-epoch
+    # validation, limits, tail batches) via train_one_epoch_packed. The
+    # sharded variant scans the sharded step (make_sharded_multi_step) with
+    # the macro payload's batch axis on the data mesh axis.
     train_epoch_fn = None
-    if not sharded and not args.no_packed:
+    # multi-host keeps the standard loop (cross-process macro assembly of
+    # packed payloads is not exercised yet)
+    if not args.no_packed and jax.process_count() == 1:
+        import jax as _jax
+
         from two_tower_recommender_model_tpu.data.device_featurizer import (
             PackedFeaturizer, make_packed_train_step, unpack_batch,
         )
@@ -178,11 +186,29 @@ def main():
             packed_feat = PrepackedFeaturizer.for_dataset(train_loader.dataset, mcfg)
         else:
             packed_feat = PackedFeaturizer(mcfg, pack_label=True)
-        core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
-        multi = make_multi_step(
-            lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
-        )
-        tail_step = make_packed_train_step(core, mcfg, pack_label=True)
+        if sharded:
+            from two_tower_recommender_model_tpu.parallel import (
+                macro_batch_sharding, make_sharded_multi_step,
+            )
+            from two_tower_recommender_model_tpu.parallel.sharded import (
+                make_sharded_train_step as _msts,
+            )
+
+            multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan)
+            core_sh = _msts(mcfg, tcfg, dense_opt, mesh, plan, donate=False, jit=False)
+            tail_step = _jax.jit(
+                lambda s, pb: core_sh(s, unpack_batch(pb, mcfg, pack_label=True)),
+                donate_argnums=(0,),
+            )
+            macro_sh = macro_batch_sharding(mesh)
+            tail_sh = sharding  # per-batch data placement
+        else:
+            core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+            multi = make_multi_step(
+                lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
+            )
+            tail_step = make_packed_train_step(core, mcfg, pack_label=True)
+            macro_sh = tail_sh = None
 
         # prepacked val/test datasets eval through the packed eval step
         from two_tower_recommender_model_tpu.data.shards import ShardedDataset
@@ -192,10 +218,13 @@ def main():
             from two_tower_recommender_model_tpu.data.device_featurizer import (
                 make_packed_eval_step,
             )
-            from two_tower_recommender_model_tpu.train.step import make_eval_step as _mes
 
             featurizer = PrepackedFeaturizer.for_dataset(val_ds, mcfg)
-            eval_step = make_packed_eval_step(_mes(mcfg, tcfg), mcfg, pack_label=True)
+            base_eval = (
+                make_sharded_eval_step(mcfg, tcfg, mesh, plan) if sharded
+                else make_eval_step(mcfg, tcfg)
+            )
+            eval_step = make_packed_eval_step(base_eval, mcfg, pack_label=True)
 
         def train_epoch_fn(state, epoch):
             train_loader.set_epoch(epoch)
@@ -203,7 +232,8 @@ def main():
                 state, multi, train_loader, packed_feat, macro=args.macro_batches,
                 train_cfg=tcfg, tail_step=tail_step, eval_step=eval_step,
                 val_batches_factory=eval_factory("val"), val_featurizer=featurizer,
-                logger=logger, epoch=epoch,
+                logger=logger, epoch=epoch, sharding=macro_sh, tail_sharding=tail_sh,
+                val_sharding=sharding, pad_multiple=n_devices if sharded else None,
             )
 
     state, results = train_val_test(

@@ -59,3 +59,14 @@ def test_register_from_run_carries_metrics(setup, tmp_path):
     assert e["run_id"] == logger.run_id
     assert e["metrics"]["val_auroc"] == 0.91
     assert "note" not in e["metrics"]  # non-numeric values dropped
+
+
+def test_serve_from_registry_by_stage(setup):
+    from two_tower_recommender_model_tpu.serving.scorer import load_scorer_from_registry
+
+    reg, mcfg, state = setup
+    v = reg.register("serveme", mcfg, state)
+    reg.set_stage("serveme", v, "Production")
+    scorer = load_scorer_from_registry(reg.root, "serveme", "Production")
+    p = scorer.predict({"user_id": [1, 2], "product_id": [3, 4]})
+    assert p.shape == (2,) and np.isfinite(p).all()

@@ -36,6 +36,7 @@ class PackedBatch:
     ids_raw: jax.Array  # [B, total_slots] int32 raw (unhashed) ids
     labels: jax.Array  # [B] int32 ([0] when the label bit is packed into ids_raw)
     dense: jax.Array | None = None
+    weights: jax.Array | None = None  # [B] f32; zero-weight rows are padding
 
     @property
     def batch_size(self) -> int:
@@ -137,7 +138,8 @@ def unpack_batch(packed: PackedBatch, model_cfg: ModelConfig,
             mask = jnp.ones(raw.shape, jnp.float32)
         feats[fc.name] = SparseFeature(ids=hashed, mask=mask)
         off += L
-    return Batch(features=feats, labels=labels, dense=packed.dense)
+    return Batch(features=feats, labels=labels, dense=packed.dense,
+                 weights=packed.weights)
 
 
 def make_packed_train_step(train_step, model_cfg: ModelConfig, drop_zero_ids: bool = True,

@@ -62,9 +62,27 @@ class Batch:
 def pad_batch(batch: Batch, multiple: int) -> Batch:
     """Pad to a multiple of `multiple` rows with zero-weight samples, so a
     ragged tail batch can shard across devices without skewing metrics (the
-    clean alternative to dropping it)."""
+    clean alternative to dropping it). Accepts `Batch` or `PackedBatch`
+    (packed rows pad with id 0 = the missing sentinel; `labels` may be the
+    empty bit-packed placeholder)."""
     b = batch.batch_size
     pad = (-b) % multiple
+    if hasattr(batch, "ids_raw"):  # PackedBatch
+        weights = batch.weights
+        if weights is None:
+            weights = np.ones(b, np.float32)
+        if pad == 0:
+            return batch.replace(weights=weights)
+
+        def padrows(x):
+            return np.concatenate([np.asarray(x), np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+        return batch.replace(
+            ids_raw=padrows(batch.ids_raw),
+            labels=batch.labels if batch.labels.size == 0 else padrows(batch.labels),
+            dense=None if batch.dense is None else padrows(batch.dense),
+            weights=padrows(weights),
+        )
     if pad == 0 and batch.weights is not None:
         return batch
     weights = batch.weights

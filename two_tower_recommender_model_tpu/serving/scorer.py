@@ -86,3 +86,14 @@ def load_scorer(path: str, **kwargs) -> Scorer:
 
     model_cfg, params = load_model(path)
     return Scorer(model_cfg, params, **kwargs)
+
+
+def load_scorer_from_registry(
+    registry_root: str, name: str, version="Production", **kwargs
+) -> Scorer:
+    """Serve a registered model by stage/number — the `models:/<name>/<stage>`
+    serving-URI role (`workshop/02-mosaic-model-training.py:1357-1402`)."""
+    from two_tower_recommender_model_tpu.utils.registry import ModelRegistry
+
+    model_cfg, params = ModelRegistry(registry_root).load(name, version)
+    return Scorer(model_cfg, params, **kwargs)

@@ -190,6 +190,10 @@ def train_one_epoch_packed(
     val_featurizer: Featurizer | None = None,
     logger=None,
     epoch: int = 0,
+    sharding=None,  # leaf -> NamedSharding for the [K, B, ...] macro payload
+    tail_sharding=None,  # leaf -> NamedSharding for single tail batches
+    val_sharding=None,
+    pad_multiple: int | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     """High-throughput epoch: packed device-side featurization + K-step
     macro-batches through `make_multi_step`, with the SAME feature surface as
@@ -232,7 +236,7 @@ def train_one_epoch_packed(
             return next_val
         metrics = evaluate(
             state, eval_step, val_batches_factory(), val_featurizer or packed_featurizer,
-            train_cfg.limit_val_batches, "val",
+            train_cfg.limit_val_batches, "val", val_sharding, pad_multiple,
         )
         log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
         if logger is not None:
@@ -247,7 +251,8 @@ def train_one_epoch_packed(
     t0 = time.perf_counter()
     last_loss = None
     for mb in pipeline_lib.prefetch_to_device(
-        groups(), assemble, prefetch=prefetch, num_workers=num_workers
+        groups(), assemble, prefetch=prefetch, num_workers=num_workers,
+        sharding=sharding,
     ):
         state, out = multi_step(state, mb)
         last_loss = out["loss"][-1]
@@ -257,7 +262,13 @@ def train_one_epoch_packed(
         next_val = maybe_validate(state, steps, next_val)
     if tail and tail_step is not None:
         for cols in tail:
-            pb = jax.tree.map(jax.device_put, packed_featurizer(cols))
+            pb = packed_featurizer(cols)
+            if tail_sharding is not None:
+                pb = jax.tree.map(
+                    lambda x: jax.device_put(x, tail_sharding(x)), pb
+                )
+            else:
+                pb = jax.tree.map(jax.device_put, pb)
             state, out = tail_step(state, pb)
             last_loss = out["loss"]
             steps += 1
