@@ -229,3 +229,50 @@ def test_sharded_multi_step_matches_sequential(setup):
     b = unshard_train_state(ref, plan, mcfg)
     for name in a.tables:
         np.testing.assert_allclose(a.tables[name], b.tables[name], rtol=1e-5, atol=1e-7)
+
+
+def test_comm_volume_report_groups_and_totals():
+    """The analytic comm table: replicated tables show only the bwd gather;
+    sharded strategies add fwd collectives; every table-wise table of one dim
+    rides ONE bucket group; the totals are O(B x D), never O(rows)."""
+    from two_tower_recommender_model_tpu.parallel.planner import comm_volume_report
+
+    mcfg = cfg_lib.ModelConfig(
+        tables=(
+            cfg_lib.TableConfig("small", 100, 16),
+            cfg_lib.TableConfig("tw_a", 5000, 16),
+            cfg_lib.TableConfig("tw_b", 6000, 16),
+            cfg_lib.TableConfig("big", 100_000, 16),
+        ),
+        features=(
+            cfg_lib.FeatureConfig("small", "small"),
+            cfg_lib.FeatureConfig("tw_a", "tw_a"),
+            cfg_lib.FeatureConfig("tw_b", "tw_b"),
+            cfg_lib.FeatureConfig("big", "big"),
+        ),
+        query_tower=cfg_lib.TowerConfig(("small", "tw_a"), (8,)),
+        candidate_tower=cfg_lib.TowerConfig(("tw_b", "big"), (8,)),
+    )
+    plan = plan_sharding(mcfg, 4, force={
+        "small": REPLICATED, "tw_a": TABLE_WISE, "tw_b": TABLE_WISE,
+        "big": ROW_SHARDED})
+    rep = comm_volume_report(mcfg, plan, batch_size=256)
+    # one bucket group for BOTH tw tables
+    assert rep.count("__tw_bucket_d16__") == 3  # 3 collective lines, once
+    assert "tw_a" not in rep.replace("__tw_bucket_d16__", "")
+    # replicated: exactly one line (bwd)
+    assert rep.count("small") == 1
+    # bwd gather bytes for 'small': B * L * D * 4 = 256*1*16*4
+    assert f"{256*16*4:,}" in rep
+    # the report never mentions table row counts in byte columns: totals are
+    # batch-bound — doubling rows leaves the total unchanged
+    mcfg2 = cfg_lib.ModelConfig(
+        tables=tuple(cfg_lib.TableConfig(t.name, t.num_embeddings * 2, 16)
+                     for t in mcfg.tables),
+        features=mcfg.features, query_tower=mcfg.query_tower,
+        candidate_tower=mcfg.candidate_tower)
+    plan2 = plan_sharding(mcfg2, 4, force={
+        "small": REPLICATED, "tw_a": TABLE_WISE, "tw_b": TABLE_WISE,
+        "big": ROW_SHARDED})
+    rep2 = comm_volume_report(mcfg2, plan2, batch_size=256)
+    assert rep.splitlines()[-1] == rep2.splitlines()[-1]

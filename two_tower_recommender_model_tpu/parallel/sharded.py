@@ -41,7 +41,6 @@ from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_up
 from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
 from two_tower_recommender_model_tpu.parallel.planner import (
     COLUMN_SHARDED,
-    REPLICATED,
     ROW_SHARDED,
     TABLE_WISE,
     ShardingPlan,

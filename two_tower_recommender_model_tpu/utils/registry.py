@@ -23,7 +23,7 @@ import datetime
 import json
 import os
 import shutil
-from typing import Any
+
 
 STAGES = ("None", "Staging", "Production", "Archived")
 
