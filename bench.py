@@ -255,7 +255,9 @@ def main() -> None:
               f"windows={variants[dt]['windows_examples_per_sec']} "
               f"losses={variants[dt]['window_losses']}", file=sys.stderr, flush=True)
 
-    headline = variants["float32"]["examples_per_sec"]
+    headline_dtype = "float32" if "float32" in variants else dtypes[0]
+    headline_var = variants[headline_dtype]
+    headline = headline_var["examples_per_sec"]
     record = {
         "metric": "two_tower_train_examples_per_sec_1chip",
         "value": round(headline, 1),
@@ -267,9 +269,10 @@ def main() -> None:
                  "comparison"),
         "batch_size": batch_size,
         "macro": macro,
-        "windows_examples_per_sec": variants["float32"]["windows_examples_per_sec"],
-        "window_losses": variants["float32"]["window_losses"],
-        "roofline": variants["float32"]["roofline"],
+        "headline_dtype": headline_dtype,
+        "windows_examples_per_sec": headline_var["windows_examples_per_sec"],
+        "window_losses": headline_var["window_losses"],
+        "roofline": headline_var["roofline"],
         "variants": {
             dt: {
                 "examples_per_sec": round(v["examples_per_sec"], 1),

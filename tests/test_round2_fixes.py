@@ -236,3 +236,32 @@ def test_export_dense_matches_forward():
     np.testing.assert_allclose(exported[ids], np.asarray(cand), rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="dense"):
         export_feature_embeddings(params, mcfg, "product_id", dense=dense_all[:5])
+
+
+def test_quantized_dense_update_matches_sorted():
+    """The transient-dense int8 update must match the sorted-segment variant:
+    untouched rows bitwise, touched rows to quantization tolerance."""
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        quantize_table,
+        quantized_dense_rowwise_adagrad,
+        quantized_rowwise_adagrad,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d, m = 40, 8, 24
+    qt = quantize_table(jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)))
+    acc = jnp.asarray(rng.random(n).astype(np.float32))
+    ids = jnp.asarray(np.concatenate([rng.integers(0, n, m - 4), [n] * 4]).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.1)
+
+    (qa, aa) = quantized_rowwise_adagrad(qt, acc, ids, g, 0.05)
+    (qb, ab) = quantized_dense_rowwise_adagrad(qt, acc, ids, g, 0.05)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(qa.scales), np.asarray(qb.scales),
+                               rtol=1e-5, atol=1e-7)
+    # int8 codes: allow off-by-one from summation-order rounding
+    diff = np.abs(np.asarray(qa.values, np.int32) - np.asarray(qb.values, np.int32))
+    assert diff.max() <= 1, diff.max()
+    untouched = np.setdiff1d(np.arange(n), np.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(qa.values)[untouched],
+                                  np.asarray(qb.values)[untouched])

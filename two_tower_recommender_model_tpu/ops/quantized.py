@@ -101,3 +101,46 @@ def quantized_rowwise_adagrad(
         ),
         acc.at[scatter_idx].set(new_acc_rows, mode="drop"),
     )
+
+
+def quantized_dense_rowwise_adagrad(
+    qt: QuantizedTable,
+    acc: jax.Array,
+    flat_ids: jax.Array,
+    flat_grads: jax.Array,
+    lr: float,
+    eps: float = 1e-10,
+) -> tuple[QuantizedTable, jax.Array]:
+    """Transient-dense variant (the int8 form of
+    `train.optimizer.dense_rowwise_adagrad`): scatter-add the batch grads
+    into an [N, D] buffer, dequantize/update/requantize with a touched-row
+    mask — no sorts. Untouched rows keep their exact stored bytes. Wins when
+    the batch touches a sizable table fraction (same crossover as f32)."""
+    n, d = qt.values.shape
+    g = (
+        jnp.zeros((n, d), jnp.float32)
+        .at[flat_ids]
+        .add(flat_grads.astype(jnp.float32), mode="drop")
+    )
+    touched = jnp.zeros((n,), bool).at[flat_ids].set(True, mode="drop")
+    g2 = jnp.mean(g * g, axis=1)
+    new_acc = jnp.where(touched, acc + g2, acc)
+    rows = qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
+    new_rows = rows - lr * g / (jnp.sqrt(new_acc) + eps)[:, None]
+    q, scales = _quantize_rows(new_rows)
+    return (
+        QuantizedTable(
+            values=jnp.where(touched[:, None], q, qt.values),
+            scales=jnp.where(touched, scales, qt.scales),
+        ),
+        new_acc,
+    )
+
+
+def pick_quantized_update(num_rows: int, batch_slots: int):
+    """Same policy as `train.optimizer.pick_sparse_update`, int8 storage."""
+    return (
+        quantized_dense_rowwise_adagrad
+        if num_rows <= 8 * batch_slots
+        else quantized_rowwise_adagrad
+    )

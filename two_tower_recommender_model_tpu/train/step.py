@@ -167,11 +167,15 @@ def make_train_step(
             quantized_rowwise_adagrad,
         )
 
+        from two_tower_recommender_model_tpu.ops.quantized import pick_quantized_update
+
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
         for tname, (fids, fgrads) in _table_flat_grads(model_cfg, batch, d_pooled).items():
             if isinstance(state.tables[tname], QuantizedTable):
-                upd = quantized_rowwise_adagrad
+                upd = pick_quantized_update(
+                    model_cfg.table(tname).num_embeddings, fids.shape[0]
+                )
             elif sparse_update is not None:
                 upd = sparse_update
             else:
