@@ -226,15 +226,21 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
     multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
 
-    # epoch 0 warms compile + page cache; epoch 1 is the measurement
-    for epoch in range(2):
+    # epoch 0 warms compile + page cache; epochs 1-3 measure (median — the
+    # from-disk loop has real run-to-run variance from IO scheduling)
+    epoch_stats = []
+    for epoch in range(4):
         loader = StreamLoader(dataset, batch_size, seed=1, read_workers=2)
         loader.set_epoch(epoch)
         state, stats = train_one_epoch_packed(state, multi, loader, featurizer, macro=macro)
+        if epoch > 0:
+            epoch_stats.append(stats)
+    eps = _median([s["examples_per_sec"] for s in epoch_stats])
     return {
-        "examples_per_sec": stats["examples_per_sec"],
-        "rows": stats["train_examples"],
-        "epoch_time_s": round(stats["epoch_time_s"], 3),
+        "examples_per_sec": eps,
+        "epochs_examples_per_sec": [round(s["examples_per_sec"], 1) for s in epoch_stats],
+        "rows": epoch_stats[-1]["train_examples"],
+        "epoch_time_s": round(_median([s["epoch_time_s"] for s in epoch_stats]), 3),
     }
 
 
@@ -289,6 +295,7 @@ def main() -> None:
                        "from_disk")
         record["from_disk"] = {
             "examples_per_sec": round(fd["examples_per_sec"], 1),
+            "epochs_examples_per_sec": fd["epochs_examples_per_sec"],
             "rows": fd["rows"],
             "epoch_time_s": fd["epoch_time_s"],
             "vs_baseline": round(fd["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
