@@ -151,12 +151,19 @@ def main():
         train_loader.set_epoch(epoch)
         return train_loader
 
+    # eval padding: single-host pads ragged tails to a device multiple;
+    # multi-host additionally pads EVERY eval batch to the full batch size and
+    # runs all hosts to the global max batch count (align_hosts="pad" +
+    # pad_to) so cross-host collectives line up without dropping any sample
+    eval_pad_to = args.batch_size if num_hosts > 1 else None
+
     def eval_factory(split):
         # ragged tail batches are padded with zero-weight rows (pad_multiple
         # below), so no eval sample is ever dropped even when sharded
         return lambda: StreamLoader(
             os.path.join(args.data_dir, split), args.batch_size, shuffle=False,
             drop_last=False, host_index=host_index, num_hosts=num_hosts,
+            align_hosts="pad" if num_hosts > 1 else "truncate",
         )
 
     def checkpoint_fn(s, epoch):
@@ -170,9 +177,9 @@ def main():
     # sharded variant scans the sharded step (make_sharded_multi_step) with
     # the macro payload's batch axis on the data mesh axis.
     train_epoch_fn = None
-    # multi-host keeps the standard loop (cross-process macro assembly of
-    # packed payloads is not exercised yet)
-    if not args.no_packed and jax.process_count() == 1:
+    if not args.no_packed:
+        # multi-host included: macro payloads assemble across processes via
+        # make_array_from_process_local_data (tested in test_multihost.py)
         import jax as _jax
 
         from two_tower_recommender_model_tpu.data.device_featurizer import (
@@ -234,6 +241,7 @@ def main():
                 val_batches_factory=eval_factory("val"), val_featurizer=featurizer,
                 logger=logger, epoch=epoch, sharding=macro_sh, tail_sharding=tail_sh,
                 val_sharding=sharding, pad_multiple=n_devices if sharded else None,
+                pad_to=eval_pad_to,
             )
 
     state, results = train_val_test(
@@ -242,8 +250,8 @@ def main():
         val_batches_factory=eval_factory("val"),
         test_batches_factory=eval_factory("test"),
         logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
-        pad_multiple=n_devices if sharded else None, start_epoch=start_epoch,
-        train_epoch_fn=train_epoch_fn,
+        pad_multiple=n_devices if sharded else None, pad_to=eval_pad_to,
+        start_epoch=start_epoch, train_epoch_fn=train_epoch_fn,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

@@ -107,3 +107,58 @@ def test_read_workers_deterministic(dataset):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["row_id"], y["row_id"])
+
+
+def test_align_hosts_pad_complete_and_aligned(tmp_path):
+    """align_hosts="pad" (eval mode): every host yields the same batch count
+    (global max), data union is complete, and exhausted hosts yield 0-row
+    batches whose dtypes match the dataset schema."""
+    n = 500  # 1 shard of 128*3 + 116 over 4 shards; uneven across 3 hosts
+    write_dataset(
+        str(tmp_path / "ds"),
+        {"row_id": np.arange(n), "label": (np.arange(n) % 2).astype(np.int64)},
+        rows_per_shard=128,
+    )
+    ds = ShardedDataset(str(tmp_path / "ds"))
+    loaders = [
+        StreamLoader(ds, 64, shuffle=False, drop_last=False, host_index=h,
+                     num_hosts=3, align_hosts="pad")
+        for h in range(3)
+    ]
+    per_host = [_collect(ld) for ld in loaders]
+    counts = [len(b) for b in per_host]
+    assert counts[0] == counts[1] == counts[2] == loaders[0].batches_per_epoch(0)
+    allrows = np.concatenate([b["row_id"] for bs in per_host for b in bs])
+    np.testing.assert_array_equal(np.sort(allrows), np.arange(n))
+    # the host with the least data ends in 0-row schema-typed batches
+    empties = [b for bs in per_host for b in bs if len(b["row_id"]) == 0]
+    assert empties
+    for b in empties:
+        assert set(b) == {"row_id", "label"}
+        assert b["row_id"].dtype == np.arange(1).dtype
+        assert b["label"].dtype == np.int64
+
+
+def test_align_hosts_pad_zero_shard_host(tmp_path):
+    """A host owning ZERO shards (fewer shards than hosts) still yields the
+    global max batch count of empty batches — the case that silently
+    produced nan eval metrics under min-truncation."""
+    write_dataset(str(tmp_path / "ds"), {"row_id": np.arange(100)}, rows_per_shard=256)
+    ds = ShardedDataset(str(tmp_path / "ds"))
+    with_data = _collect(StreamLoader(ds, 32, shuffle=False, drop_last=False,
+                                      host_index=0, num_hosts=2, align_hosts="pad"))
+    without = _collect(StreamLoader(ds, 32, shuffle=False, drop_last=False,
+                                    host_index=1, num_hosts=2, align_hosts="pad"))
+    assert len(with_data) == len(without) == 4
+    assert sum(len(b["row_id"]) for b in with_data) == 100
+    assert all(len(b["row_id"]) == 0 for b in without)
+
+
+def test_align_hosts_truncate_unchanged(dataset):
+    """Default mode keeps the training semantics: all hosts truncated to the
+    global minimum."""
+    counts = []
+    for h in range(3):
+        ld = StreamLoader(dataset, 64, seed=5, host_index=h, num_hosts=3)
+        counts.append(len(_collect(ld)))
+    assert len(set(counts)) == 1

@@ -7,6 +7,7 @@ This exercises what the virtual-mesh tests cannot: cross-process collectives,
 and the launch helpers — the MNMG rung of the reference's ladder
 (`03_model_training.py:926-990`) without a cluster."""
 
+import json
 import os
 import socket
 import subprocess
@@ -158,7 +159,7 @@ def test_cli_multihost_two_processes(tmp_path):
              "--epochs", "1", "--batch-size", "64",
              "--embedding-dim", "8", "--layer-sizes", "16", "8",
              "--limit-train-batches", "8", "--limit-val-batches", "2",
-             "--limit-test-batches", "2",
+             "--limit-test-batches", "2", "--multi-host",
              "--runs-root", str(tmp_path / f"runs{pid}")],
             env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
@@ -169,3 +170,114 @@ def test_cli_multihost_two_processes(tmp_path):
     assert "test_auroc" in outs[0]
     # rank 0 prints the sharding plan; rank 1 does not
     assert "EmbeddingShardingPlan" in outs[0] or "EmbeddingShardingPlan" in outs[1]
+    # eval metrics must be REAL numbers: the pre-fix loader truncated all
+    # hosts to the global MIN batch count, which with few eval shards is 0
+    # on some (or all) hosts -> silent nan metrics
+    results = [line for line in outs[0].splitlines() if "'test_auroc'" in line]
+    assert results, outs[0][-2000:]
+    parsed = json.loads(results[-1].replace("'", '"'))
+    for key in ("baseline_val_auroc", "val_loss", "val_auroc", "test_loss", "test_auroc"):
+        assert np.isfinite(parsed[key]), (key, parsed)
+
+
+WORKER_PACKED = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from two_tower_recommender_model_tpu.parallel.launch import (
+    initialize_multi_host, per_host_loader_slice, host_info)
+initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert host_info()["global_devices"] == 4
+
+import numpy as np
+import jax.numpy as jnp
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import SyntheticClickstream
+from two_tower_recommender_model_tpu.data.device_featurizer import PackedFeaturizer
+from two_tower_recommender_model_tpu.parallel import (
+    macro_batch_sharding, make_mesh, make_sharded_multi_step, plan_sharding,
+    shard_train_state)
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED, TABLE_WISE
+from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+from two_tower_recommender_model_tpu.train.pipeline import device_put_batch
+from two_tower_recommender_model_tpu.train.step import create_train_state, stack_batches
+
+mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                      layer_sizes=(16, 8))
+tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+mesh = make_mesh(4, 1)
+plan = plan_sharding(mcfg, 4, force={"t_user_id": ROW_SHARDED,
+                                     "t_product_id": TABLE_WISE})
+state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+state = shard_train_state(state, plan, mesh)
+multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+
+ds = SyntheticClickstream(64, 40, seed=9)
+pf = PackedFeaturizer(mcfg, pack_label=True)
+host_index, num_hosts = per_host_loader_slice()
+B, K = 32, 3  # global batch 32; each host contributes 16; one 3-step macro
+local = []
+for i in range(K):
+    cols = ds.sample(B, start=i)
+    lo = host_index * (B // num_hosts)
+    local.append(pf({k: v[lo : lo + B // num_hosts] for k, v in cols.items()}))
+mb = stack_batches(local)  # [K, B_local, S]
+mb = device_put_batch(mb, macro_batch_sharding(mesh))  # global [K, B, S]
+state, out = multi(state, mb)
+
+loss = float(jax.device_get(out["loss"][-1]))
+gathered = unshard_train_state(state, plan, mcfg)
+if pid == 0:
+    np.savez(os.path.join(out_dir, "result_packed.npz"),
+             loss=loss,
+             t_user=gathered.tables["t_user_id"],
+             t_item=gathered.tables["t_product_id"])
+print(f"worker {pid} done loss={loss}", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_packed_macro_matches_single_process(tmp_path):
+    """The PACKED multi-chip fast path across 2 real OS processes: per-host
+    macro payload halves assemble via make_array_from_process_local_data,
+    the K-step sharded scan (row-sharded + table-wise plan) must reproduce
+    single-process sequential training."""
+    port = _free_port()
+    worker_py = tmp_path / "worker_packed.py"
+    worker_py.write_text(WORKER_PACKED)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+    result = np.load(tmp_path / "result_packed.npz")
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ds = SyntheticClickstream(64, 40, seed=9)
+    feat = Featurizer(mcfg)
+    for i in range(3):
+        state, out = step(state, jax.tree.map(jnp.asarray, feat(ds.sample(32, start=i))))
+
+    np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(result["t_user"], np.asarray(state.tables["t_user_id"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
+                               rtol=1e-4, atol=1e-6)

@@ -65,7 +65,7 @@ def test_multihost_loader_counts_match_global_min(tmp_path):
     write_dataset(str(tmp_path / "ds"), {"row_id": np.arange(500), "label": np.zeros(500)},
                   rows_per_shard=200)
     l0 = StreamLoader(str(tmp_path / "ds"), 50, seed=1, host_index=0, num_hosts=2)
-    want = l0._global_min_batches(0)
+    want = min(l0._host_batch_counts(0))
     got = sum(1 for _ in l0)
     assert got == want
 

@@ -310,3 +310,32 @@ def test_column_sharded_dim_padding():
     for name in ref_state.tables:
         np.testing.assert_allclose(
             gathered.tables[name], np.asarray(ref_state.tables[name]), rtol=1e-4, atol=1e-6)
+
+
+def test_pad_to_eval_with_all_padding_batches(setup):
+    """evaluate(pad_to=N): every batch grows to exactly N zero-weight-padded
+    rows, and an all-padding (0-row source) batch contributes NOTHING to the
+    metrics — the multi-host aligned-eval contract (a host whose data ran
+    out keeps dispatching filler batches so collectives line up)."""
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.featurizer import pad_batch_to
+    from two_tower_recommender_model_tpu.train.loop import evaluate
+
+    mcfg, tcfg, _ = setup
+    ds = SyntheticClickstream(100, 60, seed=4)
+    feat = Featurizer(mcfg)
+    cols = [ds.sample(n, "val", start=i) for i, n in enumerate((64, 64, 29))]
+    empty = {k: v[:0] for k, v in cols[0].items()}
+
+    state, _ = create_train_state(jax.random.key(0), mcfg, tcfg)
+    estep = make_eval_step(mcfg, tcfg)
+    ref = evaluate(state, estep, cols, feat, stage="val")
+    got = evaluate(state, estep, cols + [empty, empty], feat, stage="val", pad_to=64)
+    np.testing.assert_allclose(got["val_loss"], ref["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(got["val_auroc"], ref["val_auroc"], rtol=1e-5)
+
+    # fixed shapes: pad_batch_to output is always exactly pad_to rows
+    for c in cols + [empty]:
+        assert pad_batch_to(feat(c), 64).batch_size == 64
+    with pytest.raises(ValueError):
+        pad_batch_to(feat(cols[0]), 32)

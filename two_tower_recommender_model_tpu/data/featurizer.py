@@ -65,8 +65,23 @@ def pad_batch(batch: Batch, multiple: int) -> Batch:
     clean alternative to dropping it). Accepts `Batch` or `PackedBatch`
     (packed rows pad with id 0 = the missing sentinel; `labels` may be the
     empty bit-packed placeholder)."""
+    return _pad_rows(batch, (-batch.batch_size) % multiple)
+
+
+def pad_batch_to(batch: Batch, rows: int) -> Batch:
+    """Pad to EXACTLY `rows` rows with zero-weight samples. Unlike `pad_batch`
+    this also grows a 0-row batch, which is what multi-host aligned eval needs:
+    a host whose data ran out still dispatches all-padding batches of the
+    common shape so cross-host collectives line up (`data/loader.py`
+    align_hosts="pad")."""
+    pad = rows - batch.batch_size
+    if pad < 0:
+        raise ValueError(f"batch has {batch.batch_size} rows > pad_to={rows}")
+    return _pad_rows(batch, pad)
+
+
+def _pad_rows(batch: Batch, pad: int) -> Batch:
     b = batch.batch_size
-    pad = (-b) % multiple
     if hasattr(batch, "ids_raw"):  # PackedBatch
         weights = batch.weights
         if weights is None:

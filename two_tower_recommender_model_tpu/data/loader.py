@@ -41,10 +41,20 @@ class StreamLoader:
         prefetch_shards: int = 2,
         columns: list[str] | None = None,
         read_workers: int = 1,
+        align_hosts: str = "truncate",
     ):
         """`read_workers > 1` decodes shards concurrently (order preserved;
         zlib inflate in the native reader releases the GIL, so workers scale).
-        Determinism is unaffected — the visit order is fixed by the plan."""
+        Determinism is unaffected — the visit order is fixed by the plan.
+
+        `align_hosts` governs multi-host step alignment (every host must
+        dispatch the same number of steps — each carries cross-host
+        collectives). "truncate" (default, the training choice) cuts all
+        hosts to the global MINIMUM batch count. "pad" (the eval choice)
+        runs every host to the global MAXIMUM: hosts that run out of data
+        yield 0-row batches, which `evaluate(pad_to=...)` grows into
+        all-padding zero-weight batches — no sample is ever dropped, unlike
+        mosaic's drop-based rebalancing (`03_model_training.py:386-393`)."""
         self.dataset = ShardedDataset(dataset) if isinstance(dataset, str) else dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +65,9 @@ class StreamLoader:
         self.prefetch_shards = prefetch_shards
         self.columns = columns
         self.read_workers = read_workers
+        if align_hosts not in ("truncate", "pad"):
+            raise ValueError(f"align_hosts must be 'truncate' or 'pad', got {align_hosts!r}")
+        self.align_hosts = align_hosts
         self._epoch = 0
         self._batches_yielded = 0  # within current epoch
 
@@ -76,19 +89,21 @@ class StreamLoader:
         return rng.permutation(n)
 
     def batches_per_epoch(self, epoch: int = 0) -> int:
+        if self.num_hosts > 1:
+            counts = self._host_batch_counts(epoch)
+            return min(counts) if self.align_hosts == "truncate" else max(counts)
         rows = sum(self.dataset.shard_row_counts[s] for s in self._epoch_plan(epoch))
         if self.drop_last:
             return rows // self.batch_size
         return -(-rows // self.batch_size)
 
-    def _global_min_batches(self, epoch: int) -> int | None:
-        """In multi-host mode every host must dispatch the SAME number of
-        steps (each step contains cross-host collectives); with unequal shard
-        row counts, round-robin assignment can give hosts different batch
-        counts — truncate everyone to the global minimum or the fast hosts
-        would block forever inside a collective."""
-        if self.num_hosts <= 1:
-            return None
+    def _host_batch_counts(self, epoch: int) -> list[int]:
+        """Per-host batch counts for an epoch. In multi-host mode every host
+        must dispatch the SAME number of steps (each step contains cross-host
+        collectives); with unequal shard row counts, round-robin assignment
+        can give hosts different counts. align_hosts="truncate" cuts everyone
+        to min(counts); align_hosts="pad" runs everyone to max(counts) with
+        0-row filler batches (see __iter__)."""
         counts = []
         order = np.arange(self.dataset.num_shards)
         if self.shuffle:
@@ -99,7 +114,11 @@ class StreamLoader:
             counts.append(
                 rows // self.batch_size if self.drop_last else -(-rows // self.batch_size)
             )
-        return min(counts)
+        return counts
+
+    def _empty_batch(self) -> dict[str, np.ndarray]:
+        sch = self.dataset.schema(self.columns)
+        return {k: np.zeros((0, *shape), dtype) for k, (dtype, shape) in sch.items()}
 
     # -- resume -----------------------------------------------------------
 
@@ -192,7 +211,13 @@ class StreamLoader:
         epoch = self._epoch
         skip_batches = self._batches_yielded
         plan = self._epoch_plan(epoch)
-        max_batches = self._global_min_batches(epoch)
+        max_batches = pad_to_batches = None
+        if self.num_hosts > 1:
+            counts = self._host_batch_counts(epoch)
+            if self.align_hosts == "truncate":
+                max_batches = min(counts)
+            else:  # "pad": no truncation; fill up to the global max
+                pad_to_batches = max(counts)
 
         # Fast-forward for resume: a batch never crosses shards in reverse, so
         # we can drop whole shards that were fully consumed.
@@ -243,6 +268,11 @@ class StreamLoader:
             ):
                 self._batches_yielded += 1
                 yield buf.take(buf.rows)
+            if pad_to_batches is not None and self._batches_yielded < pad_to_batches:
+                empty = self._empty_batch()
+                while self._batches_yielded < pad_to_batches:
+                    self._batches_yielded += 1
+                    yield {k: v.copy() for k, v in empty.items()}
         finally:
             stop.set()
         # epoch finished -> advance

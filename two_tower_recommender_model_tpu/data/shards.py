@@ -106,6 +106,21 @@ def shard_rows(path: str) -> int:
         return json.loads(f.read(hlen))["rows"]
 
 
+def read_schema(path: str) -> dict[str, tuple[np.dtype, tuple[int, ...]]]:
+    """Column schema {name: (dtype, trailing_shape)} from a shard header only
+    (no payload IO). Lets a host that owns zero shards of a dataset still
+    construct correctly-typed empty batches (`loader.py` align_hosts="pad")."""
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path}: bad magic")
+        hlen = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(hlen))
+    return {
+        c["name"]: (np.dtype(c["dtype"]), tuple(c["shape"][1:]))
+        for c in header["columns"]
+    }
+
+
 class ShardWriter:
     """Stream rows into a shard directory with a row limit per shard (the
     `size_limit` role of `dataframe_to_mds`), writing `index.json` on close."""
@@ -222,6 +237,15 @@ class ShardedDataset:
     @property
     def num_shards(self) -> int:
         return len(self.shard_files)
+
+    def schema(self, columns: Sequence[str] | None = None):
+        """{name: (dtype, trailing_shape)} from the first shard's header."""
+        if not self.shard_files:
+            raise ValueError(f"{self.path}: empty dataset has no schema")
+        sch = read_schema(os.path.join(self.path, self.shard_files[0]))
+        if columns is not None:
+            sch = {k: v for k, v in sch.items() if k in columns}
+        return sch
 
     def read_shard(self, i: int, columns: Sequence[str] | None = None) -> dict[str, np.ndarray]:
         path = os.path.join(self.path, self.shard_files[i])

@@ -19,7 +19,7 @@ from typing import Callable, Iterable
 import jax
 
 from two_tower_recommender_model_tpu.config import ModelConfig, TrainConfig
-from two_tower_recommender_model_tpu.data.featurizer import Featurizer, pad_batch
+from two_tower_recommender_model_tpu.data.featurizer import Featurizer, pad_batch, pad_batch_to
 from two_tower_recommender_model_tpu.models.metrics import auroc_compute, mean_compute
 from two_tower_recommender_model_tpu.train import pipeline as pipeline_lib
 from two_tower_recommender_model_tpu.train.step import TrainState, eval_state_init
@@ -36,17 +36,23 @@ def evaluate(
     stage: str = "val",
     sharding=None,
     pad_multiple: int | None = None,
+    pad_to: int | None = None,
 ) -> dict[str, float]:
     """One pass of eval; returns {"<stage>_loss", "<stage>_auroc"}
     (`03_model_training.py:504-566`). `pad_multiple` pads ragged tail batches
     with zero-weight rows so they shard across devices without dropping or
-    skewing metrics."""
+    skewing metrics. `pad_to` pads EVERY batch to that fixed row count
+    instead — required in multi-host eval (with a loader in
+    align_hosts="pad" mode), where each step's per-process shape must be
+    identical across hosts, including a host's all-padding filler batches."""
     es = eval_state_init()
     it = iter(batches)
     if limit_batches is not None:
         it = itertools.islice(it, limit_batches)
     featurize = featurizer
-    if pad_multiple:
+    if pad_to:
+        featurize = lambda cols: pad_batch_to(featurizer(cols), pad_to)  # noqa: E731
+    elif pad_multiple:
         featurize = lambda cols: pad_batch(featurizer(cols), pad_multiple)  # noqa: E731
     n = 0
     for batch in pipeline_lib.prefetch_to_device(it, featurize, sharding=sharding):
@@ -69,6 +75,7 @@ def train_one_epoch(
     epoch: int = 0,
     sharding=None,
     pad_multiple: int | None = None,
+    pad_to: int | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     it = iter(batches)
     if train_cfg.limit_train_batches is not None:
@@ -91,7 +98,7 @@ def train_one_epoch(
         ):
             metrics = evaluate(
                 state, eval_step, val_batches_factory(), featurizer,
-                train_cfg.limit_val_batches, "val", sharding, pad_multiple,
+                train_cfg.limit_val_batches, "val", sharding, pad_multiple, pad_to,
             )
             log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
             if logger is not None:
@@ -123,6 +130,7 @@ def train_val_test(
     checkpoint_fn: Callable[[TrainState, int], None] | None = None,
     sharding=None,
     pad_multiple: int | None = None,
+    pad_to: int | None = None,
     start_epoch: int = 0,
     train_epoch_fn: Callable | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
@@ -137,7 +145,7 @@ def train_val_test(
 
     metrics = evaluate(
         state, eval_step, val_batches_factory(), featurizer,
-        train_cfg.limit_val_batches, "val", sharding, pad_multiple,
+        train_cfg.limit_val_batches, "val", sharding, pad_multiple, pad_to,
     )
     log.info("baseline %s", metrics)
     results.update({f"baseline_{k}": v for k, v in metrics.items()})
@@ -151,10 +159,11 @@ def train_val_test(
             state, stats = train_one_epoch(
                 state, train_step, train_batches_factory(epoch), featurizer, train_cfg,
                 eval_step, val_batches_factory, logger, epoch, sharding, pad_multiple,
+                pad_to,
             )
         metrics = evaluate(
             state, eval_step, val_batches_factory(), featurizer,
-            train_cfg.limit_val_batches, "val", sharding, pad_multiple,
+            train_cfg.limit_val_batches, "val", sharding, pad_multiple, pad_to,
         )
         log.info("epoch %d train %s val %s", epoch, stats, metrics)
         results.update(metrics)
@@ -166,7 +175,7 @@ def train_val_test(
 
     metrics = evaluate(
         state, eval_step, test_batches_factory(), featurizer,
-        train_cfg.limit_test_batches, "test", sharding, pad_multiple,
+        train_cfg.limit_test_batches, "test", sharding, pad_multiple, pad_to,
     )
     log.info("test %s", metrics)
     results.update(metrics)
@@ -194,6 +203,7 @@ def train_one_epoch_packed(
     tail_sharding=None,  # leaf -> NamedSharding for single tail batches
     val_sharding=None,
     pad_multiple: int | None = None,
+    pad_to: int | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     """High-throughput epoch: packed device-side featurization + K-step
     macro-batches through `make_multi_step`, with the SAME feature surface as
@@ -236,7 +246,7 @@ def train_one_epoch_packed(
             return next_val
         metrics = evaluate(
             state, eval_step, val_batches_factory(), val_featurizer or packed_featurizer,
-            train_cfg.limit_val_batches, "val", val_sharding, pad_multiple,
+            train_cfg.limit_val_batches, "val", val_sharding, pad_multiple, pad_to,
         )
         log.info("epoch %d step %d mid-epoch %s", epoch, steps, metrics)
         if logger is not None:
@@ -263,12 +273,9 @@ def train_one_epoch_packed(
     if tail and tail_step is not None:
         for cols in tail:
             pb = packed_featurizer(cols)
-            if tail_sharding is not None:
-                pb = jax.tree.map(
-                    lambda x: jax.device_put(x, tail_sharding(x)), pb
-                )
-            else:
-                pb = jax.tree.map(jax.device_put, pb)
+            # device_put_batch handles multi-host assembly (each process
+            # contributes its local slice of the global batch)
+            pb = pipeline_lib.device_put_batch(pb, tail_sharding)
             state, out = tail_step(state, pb)
             last_loss = out["loss"]
             steps += 1
