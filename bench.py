@@ -105,9 +105,21 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def measure_hot_loop(table_dtype: str, batch_size: int, macro: int, windows: int,
+def parse_variant(spec: str) -> tuple[str, bool, bool]:
+    """'float32+sorted+bf16buf' -> (dtype, sorted, bf16 scatter buffer)."""
+    parts = spec.split("+")
+    return parts[0], "sorted" in parts[1:], "bf16buf" in parts[1:]
+
+
+def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
                      per_window: int, warmup: int = 3) -> dict:
-    """Chained-state macro-batch training over distinct host payloads."""
+    """Chained-state macro-batch training over distinct host payloads.
+
+    `variant` is `<table_dtype>[+sorted][+bf16buf]`: `+sorted` host-sorts each
+    batch by the user feature's hashed id and enables the `indices_are_sorted`
+    scatter fast path for the user table (identical numerics, DESIGN §6c);
+    `+bf16buf` additionally aggregates that table's transient gradient buffer
+    in bf16 (reduced-precision duplicate accumulation, opt-in)."""
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
@@ -124,15 +136,21 @@ def measure_hot_loop(table_dtype: str, batch_size: int, macro: int, windows: int
         stack_batches,
     )
 
+    table_dtype, sort, bf16buf = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
     if table_dtype != "float32":
         mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
-    tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
+    tcfg = cfg_lib.TrainConfig(
+        batch_size=batch_size,
+        sorted_feature="user_id" if sort else None,
+        scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
+    )
     ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
                               noise=0.05, latent_dim=4)
-    featurizer = PackedFeaturizer(mcfg, pack_label=True)
+    featurizer = PackedFeaturizer(mcfg, pack_label=True,
+                                  sort_feature="user_id" if sort else None)
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
@@ -182,7 +200,7 @@ def measure_hot_loop(table_dtype: str, batch_size: int, macro: int, windows: int
         "windows_examples_per_sec": [round(e, 1) for e in window_eps],
         "window_losses": window_losses,
         "roofline": check_roofline(eps, roofline_model(batch_size, table_dtype),
-                                   f"hot_loop[{table_dtype}]"),
+                                   f"hot_loop[{variant}]"),
     }
 
 
@@ -252,7 +270,10 @@ def main() -> None:
     windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 5)
     per_window = max(int(os.environ.get("BENCH_STEPS", 480)) // macro // windows, 1)
     disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
-    dtypes = os.environ.get("BENCH_TABLE_DTYPES", "float32,bfloat16,int8").split(",")
+    dtypes = os.environ.get(
+        "BENCH_TABLE_DTYPES",
+        "float32,float32+sorted,float32+sorted+bf16buf,bfloat16,int8",
+    ).split(",")
 
     variants = {}
     for dt in dtypes:
@@ -261,7 +282,14 @@ def main() -> None:
               f"windows={variants[dt]['windows_examples_per_sec']} "
               f"losses={variants[dt]['window_losses']}", file=sys.stderr, flush=True)
 
-    headline_dtype = "float32" if "float32" in variants else dtypes[0]
+    # headline: the fastest EXACT-numerics f32 config ("+sorted" is a pure
+    # scheduling hint — same update math; "+bf16buf" is not, so excluded)
+    exact_f32 = [d for d in variants if parse_variant(d)[0] == "float32"
+                 and not parse_variant(d)[2]]
+    headline_dtype = (
+        max(exact_f32, key=lambda d: variants[d]["examples_per_sec"])
+        if exact_f32 else dtypes[0]
+    )
     headline_var = variants[headline_dtype]
     headline = headline_var["examples_per_sec"]
     record = {

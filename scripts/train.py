@@ -47,6 +47,10 @@ def parse_args():
     ap.add_argument("--macro-batches", type=int, default=16,
                     help="steps per dispatch on the packed fast path")
     ap.add_argument("--export-dir", default=None, help="export saved model here at the end")
+    ap.add_argument("--sorted-feature", default=None,
+                    help="single-slot feature to host-sort each batch by: enables the "
+                         "indices_are_sorted scatter fast path for its table "
+                         "(packed single-device path)")
     return ap.parse_args()
 
 
@@ -88,7 +92,12 @@ def main():
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
         limit_test_batches=args.limit_test_batches,
+        sorted_feature=args.sorted_feature,
     )
+    if args.sorted_feature and (args.no_packed or (not args.no_shard and len(jax.devices()) > 1)):
+        # the hinted update lives in the single-device packed step; a
+        # featurizer that doesn't sort would silently break the hint's promise
+        raise SystemExit("--sorted-feature requires the packed single-device path")
     featurizer = Featurizer(mcfg)
     host_index, num_hosts = per_host_loader_slice()
     n_devices = len(jax.devices())
@@ -190,9 +199,13 @@ def main():
         from two_tower_recommender_model_tpu.train.step import make_multi_step
 
         if train_loader.dataset.index.get("packed"):
-            packed_feat = PrepackedFeaturizer.for_dataset(train_loader.dataset, mcfg)
+            packed_feat = PrepackedFeaturizer.for_dataset(
+                train_loader.dataset, mcfg, sort_feature=tcfg.sorted_feature
+            )
         else:
-            packed_feat = PackedFeaturizer(mcfg, pack_label=True)
+            packed_feat = PackedFeaturizer(
+                mcfg, pack_label=True, sort_feature=tcfg.sorted_feature
+            )
         if sharded:
             from two_tower_recommender_model_tpu.parallel import (
                 macro_batch_sharding, make_sharded_multi_step,

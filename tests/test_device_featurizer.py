@@ -297,3 +297,68 @@ def test_train_one_epoch_packed_full_semantics(mcfg):
     for name in state_a.tables:
         np.testing.assert_array_equal(np.asarray(state_a.tables[name]),
                                       np.asarray(state_b.tables[name]))
+
+
+# --- sorted-batch fast path (TrainConfig.sorted_feature, DESIGN §6c) ---
+
+
+def test_sort_feature_orders_rows_and_preserves_content(mcfg, rng):
+    cols = {
+        "user_id": np.concatenate([[0, 0], rng.integers(1, 300, 30)]),
+        "product_id": rng.integers(0, 200, 32),
+        "label": rng.integers(0, 2, 32),
+    }
+    plain = PackedFeaturizer(mcfg, pack_label=True)(cols)
+    srt = PackedFeaturizer(mcfg, pack_label=True, sort_feature="user_id")(cols)
+    raw = srt.ids_raw[:, 0] & ((1 << 30) - 1)
+    n = 100  # num_users
+    key = np.where(raw == 0, n, raw % n)
+    assert (np.diff(key) >= 0).all(), "hashed sort keys must be non-decreasing"
+    assert key[-2:].tolist() == [n, n], "missing ids sort last (sentinel key)"
+    # same rows, just reordered — compare as sorted row tuples
+    a = sorted(map(tuple, plain.ids_raw.tolist()))
+    b = sorted(map(tuple, srt.ids_raw.tolist()))
+    assert a == b
+
+
+def test_sorted_feature_training_matches_unsorted(mcfg, rng):
+    """sorted_feature + sorted featurizer == plain training (same batches):
+    row order within a batch is loss-invariant and the hinted scatter computes
+    the same Adagrad update."""
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+
+    ds = SyntheticClickstream(100, 60, seed=11)
+    cols_list = [ds.sample(128, start=i) for i in range(4)]
+
+    def run(tcfg, featurizer):
+        state, dense_opt = create_train_state(jax.random.key(3), mcfg, tcfg)
+        core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+        step = make_packed_train_step(core, mcfg)
+        losses = []
+        for cols in cols_list:
+            state, out = step(state, jax.tree.map(jnp.asarray, featurizer(cols)))
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    base_cfg = cfg_lib.TrainConfig()
+    srt_cfg = cfg_lib.TrainConfig(sorted_feature="user_id")
+    state_a, loss_a = run(base_cfg, PackedFeaturizer(mcfg))
+    state_b, loss_b = run(srt_cfg, PackedFeaturizer(mcfg, sort_feature="user_id"))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for name in state_a.tables:
+        np.testing.assert_allclose(np.asarray(state_a.tables[name]),
+                                   np.asarray(state_b.tables[name]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sorted_feature_validation():
+    from two_tower_recommender_model_tpu.train.step import validate_sorted_feature
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30)
+    assert validate_sorted_feature(mcfg, cfg_lib.TrainConfig()) is None
+    tbl = validate_sorted_feature(
+        mcfg, cfg_lib.TrainConfig(sorted_feature="user_id")
+    )
+    assert tbl == mcfg.feature_table("user_id").name
+    with pytest.raises(ValueError, match="no such feature"):
+        validate_sorted_feature(mcfg, cfg_lib.TrainConfig(sorted_feature="nope"))

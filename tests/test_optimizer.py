@@ -41,6 +41,41 @@ def test_vs_numpy_oracle(rng, impl):
     np.testing.assert_allclose(got_a, want_a, rtol=1e-5, atol=1e-6)
 
 
+def test_dense_sorted_hint_exact(rng):
+    """Host-sorted ids + `ids_sorted=True` must give the identical update —
+    the `indices_are_sorted` fast path changes scheduling, not math."""
+    n, d, m = 40, 8, 100
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    acc = rng.random(n).astype(np.float32)
+    ids = np.sort(
+        np.concatenate([rng.integers(0, n, m - 20), np.full(20, n)]).astype(np.int32)
+    )
+    grads = rng.normal(size=(m, d)).astype(np.float32)
+    want_t, want_a = numpy_rowwise_adagrad(table, acc, ids, grads, 0.1, 1e-10)
+    got_t, got_a = dense_rowwise_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(ids), jnp.asarray(grads),
+        0.1, 1e-10, ids_sorted=True,
+    )
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_bf16_buffer_close(rng):
+    """bf16 aggregation buffer: same update within bf16 tolerance."""
+    n, d, m = 40, 8, 100
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    acc = rng.random(n).astype(np.float32)
+    ids = np.sort(rng.integers(0, n, m).astype(np.int32))
+    grads = rng.normal(size=(m, d)).astype(np.float32)
+    want_t, want_a = numpy_rowwise_adagrad(table, acc, ids, grads, 0.1, 1e-10)
+    got_t, got_a = dense_rowwise_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(ids), jnp.asarray(grads),
+        0.1, 1e-10, ids_sorted=True, buffer_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(got_t, want_t, rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(got_a, want_a, rtol=0.05, atol=0.02)
+
+
 def test_all_dead_slots_noop(rng):
     n, d = 10, 4
     table = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)

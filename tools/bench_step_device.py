@@ -1,0 +1,122 @@
+"""Device-only train-step time: f32 vs +sorted vs +sorted+bf16buf.
+
+The pipelined hot loop on this rig is dispatch/H2D-bound with ~±30% window
+jitter (tunnel contention), which hides device-side step improvements. This
+bench isolates the DEVICE step: K full train steps run inside ONE dispatch
+(`lax.scan` chained on donated state), each step reading a distinct real
+PackedBatch from an on-device pool transferred once up front. Timing is the
+(2K - K)-dispatch difference, so constant dispatch/RTT overheads cancel.
+
+Run:  nohup python tools/bench_step_device.py > /tmp/step_device_bench.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import SyntheticClickstream
+from two_tower_recommender_model_tpu.data.device_featurizer import (
+    PackedFeaturizer,
+    unpack_batch,
+)
+from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+N_USERS, N_ITEMS = 206_209, 49_688
+POOL = 8
+K = 32
+
+
+def build(variant: str, batch_size: int):
+    sort = "sorted" in variant
+    bf16buf = "bf16buf" in variant
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64)
+    )
+    tcfg = cfg_lib.TrainConfig(
+        batch_size=batch_size,
+        sorted_feature="user_id" if sort else None,
+        scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
+    )
+    feat = PackedFeaturizer(mcfg, pack_label=True,
+                            sort_feature="user_id" if sort else None)
+    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
+    pool_np = np.stack(
+        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
+    )
+    pool = jnp.asarray(pool_np)  # [P, B, S] transferred once
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+
+    def run_k(k):
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def run(state, pool, k):
+            def body(carry, i):
+                pb_ids = jax.lax.dynamic_index_in_dim(pool, i % POOL, keepdims=False)
+                from two_tower_recommender_model_tpu.data.device_featurizer import (
+                    PackedBatch,
+                )
+
+                batch = unpack_batch(
+                    PackedBatch(ids_raw=pb_ids, labels=jnp.zeros(0, jnp.int32)),
+                    mcfg, pack_label=True,
+                )
+                carry, out = core(carry, batch)
+                return carry, out["loss"]
+
+            state, losses = jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+            return state, losses[-1]
+
+        return run
+
+    return state, pool, run_k
+
+
+def time_variant(variant: str, batch_size: int, reps: int = 5):
+    state, pool, run_k = build(variant, batch_size)
+    r1, r2 = run_k(K), run_k(2 * K)
+    state, v = r1(state, pool, K)  # compile + warm
+    float(v)
+    state, v = r2(state, pool, 2 * K)
+    float(v)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, v = r1(state, pool, K)
+        float(v)
+        t1 = time.perf_counter()
+        state, v = r2(state, pool, 2 * K)
+        float(v)
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))  # K extra steps
+    diffs.sort()
+    per_step = diffs[len(diffs) // 2] / K
+    return {
+        "variant": variant,
+        "batch_size": batch_size,
+        "step_ms": round(per_step * 1e3, 3),
+        "device_examples_per_sec": round(batch_size / per_step, 0),
+    }
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    out = []
+    for bs in (262_144, 65_536):
+        for variant in ("f32", "f32+sorted", "f32+sorted+bf16buf"):
+            rec = time_variant(variant, bs)
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    print(json.dumps({"all": out}))
+
+
+if __name__ == "__main__":
+    main()

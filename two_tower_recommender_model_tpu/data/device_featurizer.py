@@ -43,11 +43,50 @@ class PackedBatch:
         return self.ids_raw.shape[0]
 
 
+def _sort_slot_offset(model_cfg: ModelConfig, sort_feature: str) -> tuple[int, int]:
+    """(slot offset, num_embeddings) of a single-slot sort feature."""
+    off = 0
+    for fc in model_cfg.features:
+        if fc.name == sort_feature:
+            if fc.max_ids_per_sample != 1:
+                raise ValueError(f"sort_feature {sort_feature!r} must be single-slot")
+            return off, model_cfg.feature_table(sort_feature).num_embeddings
+        off += fc.max_ids_per_sample
+    raise ValueError(f"sort_feature {sort_feature!r}: no such feature")
+
+
+def sort_packed_batch(
+    pb: PackedBatch, slot_off: int, num_embeddings: int, pack_label: bool
+) -> PackedBatch:
+    """Reorder batch rows so the designated slot's HASHED ids are
+    non-decreasing, with missing ids (raw==0) last — exactly the flat-id key
+    the update path sees (`row_grad_flatten` maps masked slots to sentinel N).
+    Row order within a batch is loss-invariant (the losses reduce over rows;
+    the in-batch softmax permutes both towers consistently), so this only
+    buys the `indices_are_sorted` scatter fast path (DESIGN §6c)."""
+    col = np.asarray(pb.ids_raw[:, slot_off])
+    if pack_label and slot_off == 0:
+        col = col & ((1 << 30) - 1)
+    key = col % num_embeddings
+    key = np.where(col == 0, num_embeddings, key)
+    order = np.argsort(key, kind="stable")
+    return PackedBatch(
+        ids_raw=np.ascontiguousarray(pb.ids_raw[order]),
+        labels=pb.labels[order] if pb.labels.size else pb.labels,
+        dense=None if pb.dense is None else np.ascontiguousarray(pb.dense[order]),
+        weights=None if pb.weights is None else pb.weights[order],
+    )
+
+
 class PackedFeaturizer:
-    """Host half: dict-of-columns -> PackedBatch (no hashing, no masks)."""
+    """Host half: dict-of-columns -> PackedBatch (no hashing, no masks).
+
+    `sort_feature` names a single-slot feature to sort each batch's rows by
+    (hashed key, missing last) — see `sort_packed_batch`."""
 
     def __init__(self, model_cfg: ModelConfig, dense_cols: tuple[str, ...] = (),
-                 label_col: str = "label", pack_label: bool = False):
+                 label_col: str = "label", pack_label: bool = False,
+                 sort_feature: str | None = None):
         """`pack_label=True` steals bit 30 of slot 0 for the binary label, so
         the whole batch ships as ONE int32 array (8B/example for the flagship
         two-feature model instead of 12B — worthwhile when H2D bandwidth, not
@@ -66,6 +105,10 @@ class PackedFeaturizer:
             for fc in model_cfg.features
         ]
         self.total_slots = sum(s for _, s, _ in self.slots)
+        self.sort_feature = sort_feature
+        self._sort = (
+            _sort_slot_offset(model_cfg, sort_feature) if sort_feature else None
+        )
 
     @staticmethod
     def _fit_int32(
@@ -112,7 +155,10 @@ class PackedFeaturizer:
         if self.pack_label:
             np.bitwise_or(ids[:, 0], labels << 30, out=ids[:, 0])
             labels = np.zeros(0, np.int32)  # carried inside ids_raw
-        return PackedBatch(ids_raw=ids, labels=labels, dense=dense)
+        pb = PackedBatch(ids_raw=ids, labels=labels, dense=dense)
+        if self._sort is not None:
+            pb = sort_packed_batch(pb, *self._sort, self.pack_label)
+        return pb
 
 
 def unpack_batch(packed: PackedBatch, model_cfg: ModelConfig,

@@ -84,21 +84,29 @@ class PrepackedFeaturizer:
     a contiguity fix-up at most (row-shuffled slices are already contiguous
     copies; sequential slices are views)."""
 
-    def __init__(self, model_cfg: ModelConfig, pack_label: bool = True, dense: bool = False):
-        ref = PackedFeaturizer(model_cfg, pack_label=pack_label)
+    def __init__(self, model_cfg: ModelConfig, pack_label: bool = True, dense: bool = False,
+                 sort_feature: str | None = None):
+        ref = PackedFeaturizer(model_cfg, pack_label=pack_label, sort_feature=sort_feature)
         self.total_slots = ref.total_slots
         self.slots = ref.slots
         self.pack_label = pack_label
         self.dense = dense
+        self.sort_feature = sort_feature
+        self._sort = ref._sort
 
     @classmethod
-    def for_dataset(cls, dataset, model_cfg: ModelConfig) -> "PrepackedFeaturizer":
+    def for_dataset(
+        cls, dataset, model_cfg: ModelConfig, sort_feature: str | None = None
+    ) -> "PrepackedFeaturizer":
         """Build from a ShardedDataset's recorded packing config, validating
-        it matches the model's slot layout."""
+        it matches the model's slot layout. `sort_feature` applies the
+        per-batch row sort at read time (the loader's row shuffle destroys any
+        write-time order, so sorting must happen after batch materialization)."""
         meta = dataset.index.get("packed")
         if not meta:
             raise ValueError(f"{dataset.path}: not a pre-packed dataset")
-        self = cls(model_cfg, pack_label=meta["pack_label"], dense=meta.get("dense", False))
+        self = cls(model_cfg, pack_label=meta["pack_label"], dense=meta.get("dense", False),
+                   sort_feature=sort_feature)
         want = [[name, L, n] for name, L, n in self.slots]
         if meta["slots"] != want:
             raise ValueError(
@@ -115,4 +123,11 @@ class PrepackedFeaturizer:
         else:
             labels = np.ascontiguousarray(columns[PACKED_LABELS])
         dense = np.ascontiguousarray(columns[PACKED_DENSE]) if self.dense else None
-        return PackedBatch(ids_raw=ids, labels=labels, dense=dense)
+        pb = PackedBatch(ids_raw=ids, labels=labels, dense=dense)
+        if self._sort is not None:
+            from two_tower_recommender_model_tpu.data.device_featurizer import (
+                sort_packed_batch,
+            )
+
+            pb = sort_packed_batch(pb, *self._sort, self.pack_label)
+        return pb

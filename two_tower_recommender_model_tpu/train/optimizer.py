@@ -101,14 +101,30 @@ def dense_rowwise_adagrad(
     flat_grads: jax.Array,
     lr: float,
     eps: float = 1e-10,
+    *,
+    ids_sorted: bool = False,
+    buffer_dtype: jnp.dtype | None = None,
 ) -> tuple[jax.Array, jax.Array]:
+    """`ids_sorted=True` asserts `flat_ids` is non-decreasing (host-sorted
+    batch, see `TrainConfig.sorted_feature`) and passes the
+    `indices_are_sorted` hint to the scatter-adds — measured 1.6x on the
+    scatter, the dominant cost of this path (DESIGN §6c). `buffer_dtype=
+    bfloat16` additionally aggregates the transient gradient buffer in bf16
+    (another ~2.7x on the sorted scatter; opt-in — duplicate-row gradients
+    accumulate at reduced precision)."""
     n, d = table.shape
+    buf_dtype = jnp.float32 if buffer_dtype is None else buffer_dtype
     g = (
-        jnp.zeros((n, d), jnp.float32)
+        jnp.zeros((n, d), buf_dtype)
         .at[flat_ids]
-        .add(flat_grads.astype(jnp.float32), mode="drop")
+        .add(flat_grads.astype(buf_dtype), mode="drop", indices_are_sorted=ids_sorted)
+        .astype(jnp.float32)
     )
-    touched = jnp.zeros((n,), bool).at[flat_ids].set(True, mode="drop")
+    touched = (
+        jnp.zeros((n,), bool)
+        .at[flat_ids]
+        .set(True, mode="drop", indices_are_sorted=ids_sorted)
+    )
     g2 = jnp.mean(g * g, axis=1)
     new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
     denom = jnp.sqrt(new_acc) + eps

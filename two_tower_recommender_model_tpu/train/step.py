@@ -115,6 +115,28 @@ def _table_flat_grads(
     return out
 
 
+def validate_sorted_feature(model_cfg: ModelConfig, train_cfg: TrainConfig) -> str | None:
+    """Resolve `TrainConfig.sorted_feature` to its table name, enforcing the
+    layout under which a host-sorted batch yields non-decreasing flat ids for
+    that table: the feature is single-slot and the table's only reader (a
+    multi-slot or fanned-in table interleaves other ids into the flat array,
+    breaking the `indices_are_sorted` promise)."""
+    feat = train_cfg.sorted_feature
+    if feat is None:
+        return None
+    fc = next((f for f in model_cfg.features if f.name == feat), None)
+    if fc is None:
+        raise ValueError(f"sorted_feature {feat!r}: no such feature")
+    if fc.max_ids_per_sample != 1:
+        raise ValueError(f"sorted_feature {feat!r} must be single-slot "
+                         f"(has {fc.max_ids_per_sample})")
+    readers = [f.name for f in model_cfg.features if f.table == fc.table]
+    if readers != [feat]:
+        raise ValueError(f"sorted_feature {feat!r}: table {fc.table!r} is also "
+                         f"read by {readers} — flat ids would interleave")
+    return fc.table
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -135,6 +157,10 @@ def make_train_step(
     loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg)
 
     cand_feature = model_cfg.candidate_tower.features[0]
+    sorted_table = validate_sorted_feature(model_cfg, train_cfg)
+    sorted_buf = (
+        jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
+    )
 
     def step(state: TrainState, batch: Batch):
         pooled = two_tower.pooled_embeddings(state.tables, batch, model_cfg)
@@ -181,6 +207,12 @@ def make_train_step(
             else:
                 upd = opt_lib.pick_sparse_update(
                     model_cfg.table(tname).num_embeddings, fids.shape[0]
+                )
+            if upd is opt_lib.dense_rowwise_adagrad and tname == sorted_table:
+                import functools
+
+                upd = functools.partial(
+                    upd, ids_sorted=True, buffer_dtype=sorted_buf
                 )
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname],
