@@ -139,3 +139,27 @@ def test_int8_row_sharded_matches_single_device():
                                       np.asarray(ref_state.tables[name].values))
         np.testing.assert_allclose(np.asarray(gathered.tables[name].scales),
                                    np.asarray(ref_state.tables[name].scales), rtol=1e-5)
+
+
+def test_quantized_dense_sorted_hint_identical(rng):
+    """int8 transient-dense update: sorted ids + hint == unsorted (same math,
+    different scatter scheduling) — the int8 arm of DESIGN §6c."""
+    import jax.numpy as jnp
+
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        quantize_table,
+        quantized_dense_rowwise_adagrad,
+    )
+
+    n, d, m = 30, 8, 64
+    qt = quantize_table(jnp.asarray(rng.normal(size=(n, d)), jnp.float32))
+    acc = jnp.asarray(rng.random(n), jnp.float32)
+    ids = np.sort(rng.integers(0, n, m).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    plain_t, plain_a = quantized_dense_rowwise_adagrad(
+        qt, acc, jnp.asarray(ids), grads, 0.1)
+    fast_t, fast_a = quantized_dense_rowwise_adagrad(
+        qt, acc, jnp.asarray(ids), grads, 0.1, ids_sorted=True)
+    np.testing.assert_array_equal(np.asarray(plain_t.values), np.asarray(fast_t.values))
+    np.testing.assert_array_equal(np.asarray(plain_t.scales), np.asarray(fast_t.scales))
+    np.testing.assert_allclose(np.asarray(plain_a), np.asarray(fast_a), rtol=1e-6)

@@ -110,19 +110,30 @@ def quantized_dense_rowwise_adagrad(
     flat_grads: jax.Array,
     lr: float,
     eps: float = 1e-10,
+    *,
+    ids_sorted: bool = False,
+    buffer_dtype: jnp.dtype | None = None,
 ) -> tuple[QuantizedTable, jax.Array]:
     """Transient-dense variant (the int8 form of
     `train.optimizer.dense_rowwise_adagrad`): scatter-add the batch grads
     into an [N, D] buffer, dequantize/update/requantize with a touched-row
     mask — no sorts. Untouched rows keep their exact stored bytes. Wins when
-    the batch touches a sizable table fraction (same crossover as f32)."""
+    the batch touches a sizable table fraction (same crossover as f32).
+    `ids_sorted`/`buffer_dtype` mirror the f32 sorted-scatter fast path
+    (DESIGN §6c)."""
     n, d = qt.values.shape
+    buf_dtype = jnp.float32 if buffer_dtype is None else buffer_dtype
     g = (
-        jnp.zeros((n, d), jnp.float32)
+        jnp.zeros((n, d), buf_dtype)
         .at[flat_ids]
-        .add(flat_grads.astype(jnp.float32), mode="drop")
+        .add(flat_grads.astype(buf_dtype), mode="drop", indices_are_sorted=ids_sorted)
+        .astype(jnp.float32)
     )
-    touched = jnp.zeros((n,), bool).at[flat_ids].set(True, mode="drop")
+    touched = (
+        jnp.zeros((n,), bool)
+        .at[flat_ids]
+        .set(True, mode="drop", indices_are_sorted=ids_sorted)
+    )
     g2 = jnp.mean(g * g, axis=1)
     new_acc = jnp.where(touched, acc + g2, acc)
     rows = qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)

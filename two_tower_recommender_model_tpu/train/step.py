@@ -208,7 +208,13 @@ def make_train_step(
                 upd = opt_lib.pick_sparse_update(
                     model_cfg.table(tname).num_embeddings, fids.shape[0]
                 )
-            if upd is opt_lib.dense_rowwise_adagrad and tname == sorted_table:
+            from two_tower_recommender_model_tpu.ops.quantized import (
+                quantized_dense_rowwise_adagrad,
+            )
+
+            if tname == sorted_table and upd in (
+                opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
+            ):
                 import functools
 
                 upd = functools.partial(
