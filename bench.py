@@ -48,13 +48,14 @@ EMBED_DIM = 128
 LAYERS = (128, 64)
 
 
-def roofline_model(batch_size: int, table_dtype: str) -> dict:
+def roofline_model(batch_size: int, table_dtype: str, wire_bytes: float = 8.0) -> dict:
     """Modeled per-example HBM bytes and MXU FLOPs for the flagship step.
 
     Bytes (per sparse feature, D=128): forward gather reads one row; the
     fused update reads + writes the touched row and its f32 accumulator
     scalar. int8 adds a per-row scale read+write. Tower activations/params
-    are small and mostly fused; the id transfer is 8B/example (packed).
+    are small and mostly fused; the id transfer is `wire_bytes`/example
+    (8 packed int32, 4.375 compact bit-packed).
     FLOPs: two towers, layers (256->128 eq: in-dim 128), fwd+bwd ~= 3x fwd.
     """
     tb = {"float32": 4, "bfloat16": 2, "int8": 1}[table_dtype]
@@ -63,8 +64,7 @@ def roofline_model(batch_size: int, table_dtype: str) -> dict:
     update = n_feat * 2 * EMBED_DIM * tb        # row read + write
     acc = n_feat * 2 * 4                        # accumulator read + write (f32)
     scales = n_feat * 2 * 4 if table_dtype == "int8" else 0
-    h2d = 8                                     # packed int32 ids (+label bit)
-    bytes_ex = gather + update + acc + scales + h2d
+    bytes_ex = gather + update + acc + scales + wire_bytes
 
     def tower_flops(in_dim):
         f, d = 0, in_dim
@@ -105,25 +105,33 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def parse_variant(spec: str) -> tuple[str, bool, bool]:
-    """'float32+sorted+bf16buf' -> (dtype, sorted, bf16 scatter buffer)."""
+def parse_variant(spec: str) -> tuple[str, bool, bool, bool]:
+    """'float32+sorted+compact' -> (dtype, sorted, bf16 buffer, compact wire)."""
     parts = spec.split("+")
-    return parts[0], "sorted" in parts[1:], "bf16buf" in parts[1:]
+    return (parts[0], "sorted" in parts[1:], "bf16buf" in parts[1:],
+            "compact" in parts[1:])
 
 
 def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
                      per_window: int, warmup: int = 3) -> dict:
     """Chained-state macro-batch training over distinct host payloads.
 
-    `variant` is `<table_dtype>[+sorted][+bf16buf]`: `+sorted` host-sorts each
-    batch by the user feature's hashed id and enables the `indices_are_sorted`
-    scatter fast path for the user table (identical numerics, DESIGN §6c);
-    `+bf16buf` additionally aggregates that table's transient gradient buffer
-    in bf16 (reduced-precision duplicate accumulation, opt-in)."""
+    `variant` is `<table_dtype>[+sorted][+bf16buf][+compact]`: `+sorted`
+    host-sorts each batch by the user feature's hashed id and enables the
+    `indices_are_sorted` scatter fast path for the user table (identical
+    numerics, DESIGN §6c); `+bf16buf` additionally aggregates that table's
+    transient gradient buffer in bf16 (reduced-precision duplicate
+    accumulation, opt-in); `+compact` ships the bit-packed compact wire
+    format (4.375 B/example vs 8 — identical numerics, DESIGN §6d)."""
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
     from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.compact import (
+        CompactFeaturizer,
+        CompactScheme,
+        batch_from_compact,
+    )
     from two_tower_recommender_model_tpu.data.device_featurizer import (
         PackedFeaturizer,
         unpack_batch,
@@ -136,7 +144,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
         stack_batches,
     )
 
-    table_dtype, sort, bf16buf = parse_variant(variant)
+    table_dtype, sort, bf16buf, compact = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
@@ -154,9 +162,18 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
-    train_step = make_multi_step(
-        lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
-    )
+    if compact:
+        scheme = CompactScheme.from_model(mcfg, pack_label=True)
+        featurizer = CompactFeaturizer(featurizer, scheme)
+        train_step = make_multi_step(
+            lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme))
+        )
+        wire_bytes = scheme.wire_bytes_per_example
+    else:
+        train_step = make_multi_step(
+            lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
+        )
+        wire_bytes = 8.0
 
     # Payload distinctness: pool size COPRIME with the macro size AND larger
     # than the macro count, so the stacked [K, B] payload of every macro in
@@ -199,8 +216,9 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
         "examples_per_sec": eps,
         "windows_examples_per_sec": [round(e, 1) for e in window_eps],
         "window_losses": window_losses,
-        "roofline": check_roofline(eps, roofline_model(batch_size, table_dtype),
-                                   f"hot_loop[{variant}]"),
+        "roofline": check_roofline(
+            eps, roofline_model(batch_size, table_dtype, wire_bytes),
+            f"hot_loop[{variant}]"),
     }
 
 
@@ -209,14 +227,19 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
     reconciles with the reference's from-disk 27k ex/s epoch
     (`03_model_training.py:866`). Uses the production fast path: PRE-PACKED
     uncompressed shards (device-layout columns written once at prep time,
-    `data/prepacked.py`) -> mmap StreamLoader -> macro-scan train."""
+    `data/prepacked.py`) -> mmap StreamLoader -> compact wire re-encode in the
+    prefetch workers -> macro-scan train."""
     import tempfile
 
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
     from two_tower_recommender_model_tpu.data import SyntheticClickstream
-    from two_tower_recommender_model_tpu.data.device_featurizer import unpack_batch
+    from two_tower_recommender_model_tpu.data.compact import (
+        CompactFeaturizer,
+        CompactScheme,
+        batch_from_compact,
+    )
     from two_tower_recommender_model_tpu.data.loader import StreamLoader
     from two_tower_recommender_model_tpu.data.prepacked import (
         PrepackedFeaturizer,
@@ -239,10 +262,12 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
     pack_dataset(work, mcfg, ds.sample(rows), rows_per_shard=1 << 19)
     dataset = ShardedDataset(work)
 
-    featurizer = PrepackedFeaturizer.for_dataset(dataset, mcfg)
+    scheme = CompactScheme.from_model(mcfg, pack_label=True)
+    featurizer = CompactFeaturizer(
+        PrepackedFeaturizer.for_dataset(dataset, mcfg), scheme)
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
-    multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
+    multi = make_multi_step(lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme)))
 
     # epoch 0 warms compile + page cache; epochs 1-3 measure (median — the
     # from-disk loop has real run-to-run variance from IO scheduling)
@@ -259,6 +284,7 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
         "epochs_examples_per_sec": [round(s["examples_per_sec"], 1) for s in epoch_stats],
         "rows": epoch_stats[-1]["train_examples"],
         "epoch_time_s": round(_median([s["epoch_time_s"] for s in epoch_stats]), 3),
+        "wire_bytes_per_example": scheme.wire_bytes_per_example,
     }
 
 
@@ -272,7 +298,8 @@ def main() -> None:
     disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
     dtypes = os.environ.get(
         "BENCH_TABLE_DTYPES",
-        "float32,float32+sorted,float32+sorted+bf16buf,bfloat16,int8",
+        "float32+sorted+compact,float32+sorted,float32,bfloat16+sorted+compact,"
+        "int8+sorted+compact",
     ).split(",")
 
     variants = {}
@@ -319,8 +346,10 @@ def main() -> None:
     }
     if disk_rows > 0:
         fd = measure_from_disk(batch_size, macro, disk_rows)
-        check_roofline(fd["examples_per_sec"], roofline_model(batch_size, "float32"),
-                       "from_disk")
+        check_roofline(
+            fd["examples_per_sec"],
+            roofline_model(batch_size, "float32", fd["wire_bytes_per_example"]),
+            "from_disk")
         record["from_disk"] = {
             "examples_per_sec": round(fd["examples_per_sec"], 1),
             "epochs_examples_per_sec": fd["epochs_examples_per_sec"],

@@ -51,6 +51,11 @@ def parse_args():
                     help="single-slot feature to host-sort each batch by: enables the "
                          "indices_are_sorted scatter fast path for its table "
                          "(packed single-device path)")
+    ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
+                    help="host->device batch encoding on the packed fast path: 'compact' "
+                         "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
+                         "identical numerics; wins when H2D bandwidth binds). 'auto' "
+                         "picks compact on the single-device path when batch size %% 8 == 0")
     return ap.parse_args()
 
 
@@ -98,6 +103,10 @@ def main():
         # the hinted update lives in the single-device packed step; a
         # featurizer that doesn't sort would silently break the hint's promise
         raise SystemExit("--sorted-feature requires the packed single-device path")
+    if args.wire_format == "compact" and (
+        args.no_packed or (not args.no_shard and len(jax.devices()) > 1)
+    ):
+        raise SystemExit("--wire-format compact requires the packed single-device path")
     featurizer = Featurizer(mcfg)
     host_index, num_hosts = per_host_loader_slice()
     n_devices = len(jax.devices())
@@ -224,10 +233,26 @@ def main():
             tail_sh = sharding  # per-batch data placement
         else:
             core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
-            multi = make_multi_step(
-                lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
-            )
-            tail_step = make_packed_train_step(core, mcfg, pack_label=True)
+            wire = args.wire_format
+            if wire == "auto":
+                wire = "compact" if args.batch_size % 8 == 0 else "packed"
+            if wire == "compact":
+                from two_tower_recommender_model_tpu.data.compact import (
+                    CompactFeaturizer, CompactScheme, batch_from_compact,
+                    make_compact_train_step,
+                )
+
+                scheme = CompactScheme.from_model(mcfg, pack_label=True)
+                packed_feat = CompactFeaturizer(packed_feat, scheme)
+                multi = make_multi_step(
+                    lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme))
+                )
+                tail_step = make_compact_train_step(core, mcfg, scheme)
+            else:
+                multi = make_multi_step(
+                    lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
+                )
+                tail_step = make_packed_train_step(core, mcfg, pack_label=True)
             macro_sh = tail_sh = None
 
         # prepacked val/test datasets eval through the packed eval step

@@ -1,0 +1,254 @@
+"""Compact wire format: minimum-byte batches for a wire-bound host->device link.
+
+Motivation (measured, DESIGN §5b/§6d): on this rig H2D sustains only
+~75 MB/s through the tunnel and transfers do not parallelize, so the hot
+loop is WIRE-bound — at `PackedBatch`'s 8 B/example the pipeline caps at
+~9.5M examples/s while the device step alone does ~16.6M. Every wire byte
+is throughput.
+
+`PackedBatch` ships raw int32 ids (4 B/slot) because hashing happens on
+device. But the hash is pure and the mask depends only on `raw != 0`, so the
+host can pre-hash and ship each slot at its information width instead:
+
+    enc(raw) = 0                         if raw == 0   (missing sentinel)
+               (raw % N) + 1             otherwise     (in [1, N])
+
+which needs ceil(log2(N+1)) bits (+1 for the label bit on slot 0 when
+`pack_label`). Layout is BYTE-PLANED: each slot ships bits//8 whole planes
+of `[B]` uint8 (plane-major: contiguous device slices, and low-entropy
+high-order planes sit together — friendlier to wire compression); the
+remaining bits%8 bits of every slot are concatenated per example (R bits)
+and packed 8 examples -> R bytes in a separate `rem[R, B//8]` buffer, so the
+transport is true bit-width. The flagship two-feature model (206,209 users
++ label bit = 19 bits, 49,688 items = 16 bits) drops from 8 B to
+4.375 B/example. Requires B % 8 == 0 and 8*R <= 32; the scheme falls back
+to whole-byte slots otherwise.
+
+Decode runs inside the consumer jit program (shifts/ors/reshapes — fuses to
+~zero cost) and reproduces EXACTLY the `unpack_batch` semantics: same hashed
+ids, same `raw != 0` mask, same labels (tested bit-identical).
+
+Reference parity note: the reference ships >= 3 int64/float tensors per
+example via torch default collation (`transform_to_torchrec_batch`,
+`03_model_training.py:353-380`) — ~24 B/example on the same model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu.config import ModelConfig
+from two_tower_recommender_model_tpu.data.device_featurizer import PackedBatch
+from two_tower_recommender_model_tpu.data.featurizer import Batch, SparseFeature
+
+
+@flax.struct.dataclass
+class CompactBatch:
+    """Wire-minimal batch. `wire` holds the whole-byte planes; `rem` holds the
+    packed remainder bits (8 examples per byte column), absent when every
+    slot's width is a byte multiple."""
+
+    wire: jax.Array  # [W8, B] uint8 whole-byte planes
+    rem: jax.Array | None  # [R, B//8] uint8 remainder-bit planes (or None)
+    labels: jax.Array  # [B] int32, or [0] when the label bit rides in the wire
+    dense: jax.Array | None = None
+    weights: jax.Array | None = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.wire.shape[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class _SlotPlan:
+    feature: str
+    sub: int  # sub-slot index within the feature (multi-hot features)
+    slot_off: int  # column in PackedBatch.ids_raw
+    num_embeddings: int
+    bits: int  # total bits incl. label bit when has_label
+    bits_id: int  # bits of the id payload (excl. label bit)
+    has_label: bool
+    byte_start: int  # first whole-byte plane in `wire`
+    nbytes: int  # whole-byte planes
+    rem_bits: int  # remainder bits in the shared `rem` planes
+    rem_off: int  # bit offset of this slot's remainder within the R-bit group
+
+
+def _bits_for(n_values: int) -> int:
+    return max(1, int(n_values - 1).bit_length())
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactScheme:
+    """Static wire layout derived from the model config (all shapes/offsets
+    are trace-time constants, so the decode fuses into the consumer jit)."""
+
+    slots: tuple[_SlotPlan, ...]
+    pack_label: bool
+    whole_bytes: int  # W8
+    rem_bits_total: int  # R (remainder bits per example; 0 = no rem buffer)
+
+    @classmethod
+    def from_model(cls, model_cfg: ModelConfig, pack_label: bool = True,
+                   bit_pack: bool = True) -> "CompactScheme":
+        """`bit_pack=False` rounds every slot up to whole bytes (no remainder
+        buffer) — for callers that can't guarantee B % 8 == 0."""
+        plans: list[_SlotPlan] = []
+        byte_cursor = 0
+        rem_cursor = 0
+        slot_off = 0
+        for fc in model_cfg.features:
+            n = model_cfg.feature_table(fc.name).num_embeddings
+            for sub in range(fc.max_ids_per_sample):
+                has_label = pack_label and slot_off == 0
+                bits_id = _bits_for(n + 1)  # enc values 0..N inclusive
+                bits = bits_id + (1 if has_label else 0)
+                if bits > 31:
+                    raise ValueError(
+                        f"compact: slot {fc.name}[{sub}] needs {bits} bits > 31; "
+                        "use the packed wire format for this model"
+                    )
+                rem = bits % 8 if bit_pack else 0
+                nbytes = bits // 8 if bit_pack else (bits + 7) // 8
+                plans.append(_SlotPlan(
+                    feature=fc.name, sub=sub, slot_off=slot_off,
+                    num_embeddings=n, bits=bits, bits_id=bits_id,
+                    has_label=has_label, byte_start=byte_cursor, nbytes=nbytes,
+                    rem_bits=rem, rem_off=rem_cursor,
+                ))
+                byte_cursor += nbytes
+                rem_cursor += rem
+                slot_off += 1
+        if rem_cursor and 8 * rem_cursor > 32:
+            # the per-8-example remainder group must fit an int32; fall back
+            return cls.from_model(model_cfg, pack_label, bit_pack=False)
+        return cls(
+            slots=tuple(plans),
+            pack_label=pack_label,
+            whole_bytes=byte_cursor,
+            rem_bits_total=rem_cursor,
+        )
+
+    @property
+    def wire_bytes_per_example(self) -> float:
+        return self.whole_bytes + self.rem_bits_total / 8.0
+
+
+def compact_from_packed(pb: PackedBatch, scheme: CompactScheme) -> CompactBatch:
+    """Host half: PackedBatch -> CompactBatch (vectorized numpy; preserves row
+    order, so a `sort_feature`-sorted batch stays sorted)."""
+    ids = np.asarray(pb.ids_raw)
+    b = ids.shape[0]
+    if scheme.rem_bits_total and b % 8:
+        raise ValueError(f"compact bit-packing needs batch size % 8 == 0, got {b}")
+    wire = np.empty((scheme.whole_bytes, b), np.uint8)
+    rem_group = np.zeros((b // 8,), np.int64) if scheme.rem_bits_total else None
+    for sp in scheme.slots:
+        raw = ids[:, sp.slot_off].astype(np.int64)
+        label = None
+        if sp.has_label:
+            label = (raw >> 30) & 1
+            raw = raw & ((1 << 30) - 1)
+        v = (raw % sp.num_embeddings) + 1
+        v = np.where(raw == 0, 0, v)
+        if label is not None:
+            v = v | (label << sp.bits_id)
+        for j in range(sp.nbytes):
+            wire[sp.byte_start + j] = (v >> (8 * j)).astype(np.uint8)
+        if sp.rem_bits:
+            r = (v >> (8 * sp.nbytes)) & ((1 << sp.rem_bits) - 1)
+            lanes = r.reshape(b // 8, 8)
+            shifts = np.arange(8, dtype=np.int64) * scheme.rem_bits_total + sp.rem_off
+            rem_group |= (lanes << shifts[None, :]).sum(axis=1, dtype=np.int64)
+    rem = None
+    if rem_group is not None:
+        rem = np.empty((scheme.rem_bits_total, b // 8), np.uint8)
+        for j in range(scheme.rem_bits_total):
+            rem[j] = (rem_group >> (8 * j)).astype(np.uint8)
+    return CompactBatch(wire=wire, rem=rem, labels=np.asarray(pb.labels),
+                        dense=pb.dense, weights=pb.weights)
+
+
+def batch_from_compact(cb: CompactBatch, model_cfg: ModelConfig,
+                       scheme: CompactScheme) -> Batch:
+    """Device half (jit-traceable): byte planes -> hashed ids + masks + labels.
+    Bit-identical to `unpack_batch(PackedBatch)` on the same data (tested)."""
+    wire = cb.wire
+    labels = cb.labels
+    b = wire.shape[-1]
+
+    rem_val = rem_lane = None
+    if scheme.rem_bits_total:
+        g = jnp.zeros((b // 8,), jnp.int32)
+        for j in range(scheme.rem_bits_total):
+            g = g | (cb.rem[j].astype(jnp.int32) << (8 * j))
+        rem_val = jnp.repeat(g, 8)  # [B] — each group value on its 8 lanes
+        rem_lane = jax.lax.broadcasted_iota(jnp.int32, (b,), 0) % 8
+
+    per_feature_ids: dict[str, list] = {}
+    per_feature_mask: dict[str, list] = {}
+    for sp in scheme.slots:
+        v = jnp.zeros((b,), jnp.int32)
+        for j in range(sp.nbytes):
+            v = v | (wire[sp.byte_start + j].astype(jnp.int32) << (8 * j))
+        if sp.rem_bits:
+            r = (rem_val >> (rem_lane * scheme.rem_bits_total + sp.rem_off)) & (
+                (1 << sp.rem_bits) - 1
+            )
+            v = v | (r << (8 * sp.nbytes))
+        if sp.has_label:
+            labels = (v >> sp.bits_id) & 1
+            v = v & ((1 << sp.bits_id) - 1)
+        mask = v != 0
+        ids = jnp.maximum(v - 1, 0)
+        per_feature_ids.setdefault(sp.feature, []).append(ids)
+        per_feature_mask.setdefault(sp.feature, []).append(mask)
+
+    feats = {
+        name: SparseFeature(
+            ids=jnp.stack(cols, axis=1).astype(jnp.int32),
+            mask=jnp.stack(per_feature_mask[name], axis=1).astype(jnp.float32),
+        )
+        for name, cols in per_feature_ids.items()
+    }
+    return Batch(features=feats, labels=labels, dense=cb.dense, weights=cb.weights)
+
+
+class CompactFeaturizer:
+    """Host featurizer adapter: wraps any featurizer that yields PackedBatch
+    (`PackedFeaturizer` online, `PrepackedFeaturizer` from pre-packed shards)
+    and re-encodes to the compact wire. Row sorting (`sort_feature`) happens in
+    the inner featurizer, before encoding, so the sorted-scatter fast path is
+    preserved end to end."""
+
+    def __init__(self, inner, scheme: CompactScheme):
+        self.inner = inner
+        self.scheme = scheme
+
+    def __call__(self, columns: Mapping[str, np.ndarray]) -> CompactBatch:
+        return compact_from_packed(self.inner(columns), self.scheme)
+
+
+def make_compact_train_step(train_step, model_cfg: ModelConfig, scheme: CompactScheme):
+    """Wrap a (state, Batch) train step to take CompactBatch."""
+    import functools
+
+    @functools.wraps(train_step)
+    def step(state, cb: CompactBatch):
+        return train_step(state, batch_from_compact(cb, model_cfg, scheme))
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_compact_eval_step(eval_step, model_cfg: ModelConfig, scheme: CompactScheme):
+    @jax.jit
+    def step(state, eval_state, cb: CompactBatch):
+        return eval_step(state, eval_state, batch_from_compact(cb, model_cfg, scheme))
+
+    return step

@@ -184,6 +184,14 @@ def train_val_test(
     return state, results
 
 
+def _macro_dims(mb) -> tuple[int, int]:
+    """(K steps, B examples/step) of a stacked macro payload — PackedBatch
+    (`ids_raw[K, B, S]`) or CompactBatch (`wire[K, W, B]`, batch axis last)."""
+    if hasattr(mb, "wire"):
+        return mb.wire.shape[0], mb.wire.shape[-1]
+    return mb.ids_raw.shape[0], mb.ids_raw.shape[1]
+
+
 def train_one_epoch_packed(
     state: TrainState,
     multi_step: Callable,
@@ -266,7 +274,7 @@ def train_one_epoch_packed(
     ):
         state, out = multi_step(state, mb)
         last_loss = out["loss"][-1]
-        k, b = mb.ids_raw.shape[:2]
+        k, b = _macro_dims(mb)
         steps += k
         examples += k * b
         next_val = maybe_validate(state, steps, next_val)
