@@ -105,18 +105,28 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def parse_variant(spec: str) -> tuple[str, bool, bool, bool]:
-    """'float32+sorted+compact' -> (dtype, sorted, bf16 buffer, compact wire)."""
+def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str]:
+    """'float32+sorted+compact+blockkernel' ->
+    (dtype, sorted, bf16 buffer, compact wire, block_sorted_kernel mode)."""
     parts = spec.split("+")
-    return (parts[0], "sorted" in parts[1:], "bf16buf" in parts[1:],
-            "compact" in parts[1:])
+    if "blockkernel-bf16" in parts[1:]:
+        bsk = "bfloat16"
+    elif "blockkernel" in parts[1:]:
+        bsk = "float32"
+    else:
+        bsk = "off"
+    return (parts[0], "sorted" in parts[1:] or bsk != "off",
+            "bf16buf" in parts[1:], "compact" in parts[1:], bsk)
 
 
 def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
                      per_window: int, warmup: int = 3) -> dict:
     """Chained-state macro-batch training over distinct host payloads.
 
-    `variant` is `<table_dtype>[+sorted][+bf16buf][+compact]`: `+sorted`
+    `variant` is `<table_dtype>[+sorted][+bf16buf][+compact][+blockkernel]`:
+    `+blockkernel`/`+blockkernel-bf16` route the sorted feature's gather and
+    update through the block-sorted one-hot MXU kernels (implies `+sorted`;
+    DESIGN §6d). `+sorted`
     host-sorts each batch by the user feature's hashed id and enables the
     `indices_are_sorted` scatter fast path for the user table (identical
     numerics, DESIGN §6c); `+bf16buf` additionally aggregates that table's
@@ -144,7 +154,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
         stack_batches,
     )
 
-    table_dtype, sort, bf16buf, compact = parse_variant(variant)
+    table_dtype, sort, bf16buf, compact, bsk = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
@@ -154,6 +164,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
+        block_sorted_kernel=bsk,
     )
     ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
                               noise=0.05, latent_dim=4)
@@ -298,8 +309,8 @@ def main() -> None:
     disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
     dtypes = os.environ.get(
         "BENCH_TABLE_DTYPES",
-        "float32+sorted+compact,float32+sorted,float32,bfloat16+sorted+compact,"
-        "int8+sorted+compact",
+        "float32+sorted+compact+blockkernel,float32+sorted+compact,"
+        "float32+sorted,float32,bfloat16+sorted+compact,int8+sorted+compact",
     ).split(",")
 
     variants = {}
@@ -309,10 +320,13 @@ def main() -> None:
               f"windows={variants[dt]['windows_examples_per_sec']} "
               f"losses={variants[dt]['window_losses']}", file=sys.stderr, flush=True)
 
-    # headline: the fastest EXACT-numerics f32 config ("+sorted" is a pure
-    # scheduling hint — same update math; "+bf16buf" is not, so excluded)
+    # headline: the fastest f32-math config. "+sorted" is a pure scheduling
+    # hint; "+blockkernel" keeps exact gather rows and f32-accumulated
+    # aggregation (summation order may differ — the same equivalence class as
+    # pick_sparse_update's two algorithms). "+bf16buf" and "+blockkernel-bf16"
+    # round gradient values, so they are excluded.
     exact_f32 = [d for d in variants if parse_variant(d)[0] == "float32"
-                 and not parse_variant(d)[2]]
+                 and not parse_variant(d)[2] and parse_variant(d)[4] != "bfloat16"]
     headline_dtype = (
         max(exact_f32, key=lambda d: variants[d]["examples_per_sec"])
         if exact_f32 else dtypes[0]

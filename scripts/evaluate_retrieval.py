@@ -12,6 +12,8 @@ instead of an ANN service.
 
 from __future__ import annotations
 
+import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
+
 import argparse
 import json
 

@@ -14,6 +14,8 @@ Usage:
 
 from __future__ import annotations
 
+import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
+
 import argparse
 import os
 import shutil

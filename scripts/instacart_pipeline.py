@@ -21,6 +21,8 @@ Pass --smoke for a minutes-scale subsampled run (same code path).
 
 from __future__ import annotations
 
+import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
+
 import argparse
 import json
 import os

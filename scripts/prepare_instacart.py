@@ -14,6 +14,8 @@ Steps (reference citations in each library call):
 
 from __future__ import annotations
 
+import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
+
 import argparse
 import json
 import os

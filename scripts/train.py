@@ -13,6 +13,8 @@ Examples:
 
 from __future__ import annotations
 
+import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
+
 import argparse
 import logging
 import os

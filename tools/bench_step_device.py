@@ -35,8 +35,14 @@ K = 32
 
 
 def build(variant: str, batch_size: int):
-    sort = "sorted" in variant
+    sort = "sorted" in variant or "blockkernel" in variant
     bf16buf = "bf16buf" in variant
+    if "blockkernel-bf16" in variant:
+        bsk = "bfloat16"
+    elif "blockkernel" in variant:
+        bsk = "float32"
+    else:
+        bsk = "off"
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64)
     )
@@ -44,6 +50,7 @@ def build(variant: str, batch_size: int):
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
+        block_sorted_kernel=bsk,
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)
@@ -110,8 +117,14 @@ def time_variant(variant: str, batch_size: int, reps: int = 5):
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     out = []
-    for bs in (262_144, 65_536):
-        for variant in ("f32", "f32+sorted", "f32+sorted+bf16buf"):
+    variants = ("f32", "f32+sorted", "f32+sorted+bf16buf")
+    if "--variants" in sys.argv:
+        variants = tuple(sys.argv[sys.argv.index("--variants") + 1].split(","))
+    sizes = (262_144, 65_536)
+    if "--bs" in sys.argv:
+        sizes = tuple(int(x) for x in sys.argv[sys.argv.index("--bs") + 1].split(","))
+    for bs in sizes:
+        for variant in variants:
             rec = time_variant(variant, bs)
             out.append(rec)
             print(json.dumps(rec), flush=True)

@@ -197,6 +197,14 @@ class TrainConfig:
     # aggregation buffer for the sorted table's update (bf16 ~2.7x more on the
     # sorted scatter; duplicate-row grads accumulate at reduced precision).
     scatter_buffer_dtype: str = "float32"
+    # "off" | "float32" | "bfloat16": route the sorted feature's gather AND
+    # table update through the block-sorted one-hot MXU Pallas kernels
+    # (`ops/block_sorted.py`) instead of XLA gather/scatter. "float32" keeps
+    # exact gather rows and f32-accumulated aggregation (summation order may
+    # differ from the scatter path at the ulp level); "bfloat16" rounds the
+    # matmul operands for ~3x the MXU rate. Requires `sorted_feature` and a
+    # batch size divisible by 512. No-op for int8 tables.
+    block_sorted_kernel: str = "off"
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1
 

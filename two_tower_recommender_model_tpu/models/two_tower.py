@@ -67,12 +67,22 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
 
 
 def pooled_embeddings(
-    tables: dict[str, jax.Array], batch: Batch, cfg: ModelConfig
+    tables: dict[str, jax.Array],
+    batch: Batch,
+    cfg: ModelConfig,
+    block_sorted_feature: str | None = None,
+    block_sorted_dtype: str = "float32",
 ) -> dict[str, jax.Array]:
     """Per-feature pooled embeddings `{feature: [B, D_f]}` — the role of
     `self.ebc(kjt)` (`03_model_training.py:417`). Pooled outputs are cast to
     the compute dtype when it differs from the table storage dtype (e.g. bf16
-    tables pooled into f32 activations)."""
+    tables pooled into f32 activations).
+
+    `block_sorted_feature` routes that (single-slot, host-sorted) feature's
+    gather through the block-sorted one-hot MXU kernel
+    (`ops/block_sorted.py`) — valid ONLY when the batch rows arrive sorted by
+    that feature's hashed id (`TrainConfig.sorted_feature` +
+    `block_sorted_kernel`); the train step is the sole caller that opts in."""
     compute_dtype = (
         jnp.dtype(cfg.compute_dtype)
         if cfg.compute_dtype != cfg.resolved_table_dtype
@@ -81,6 +91,19 @@ def pooled_embeddings(
     out = {}
     for fc in cfg.features:
         feat = batch.features[fc.name]
+        if fc.name == block_sorted_feature:
+            from two_tower_recommender_model_tpu.ops.block_sorted import (
+                block_sorted_lookup,
+            )
+
+            rows = block_sorted_lookup(
+                tables[fc.table], feat.ids[:, 0], matmul_dtype=block_sorted_dtype
+            )
+            pooled = rows * feat.mask[:, :1].astype(rows.dtype)  # single-slot
+            out[fc.name] = (
+                pooled.astype(compute_dtype) if compute_dtype is not None else pooled
+            )
+            continue
         out[fc.name] = pooled_lookup(
             tables[fc.table], feat.ids, feat.mask, fc.pooling, compute_dtype
         )

@@ -1,0 +1,300 @@
+"""Block-sorted one-hot MXU kernels for the host-sorted feature.
+
+XLA's dynamic gather/scatter costs ~9-15 ns per row at flagship shapes
+(DESIGN §6c) — 10-30x above the HBM streaming roofline — because each row is
+an independent random access. When the batch is host-sorted by one feature's
+hashed id (`TrainConfig.sorted_feature`), that feature's flat ids are
+non-decreasing, so the rows each table *block* needs form a contiguous run of
+the batch. These kernels exploit that: stream the table in [R, D] blocks and
+the batch in [C, D] chunks (both sequential HBM traffic), and replace the
+per-row access with a `[R, C] @ [C, D]` one-hot matmul on the MXU — turning a
+latency-bound gather/scatter into streaming DMA + dense FLOPs.
+
+This is the role fbgemm's batched sorted-segment embedding kernels play for
+the reference (`03_model_training.py:791-795` routes its table updates through
+fused fbgemm backward ops); the TPU realization is necessarily different:
+MXU one-hot contraction instead of warp-per-row scatter.
+
+Work-item plan (computed in-jit with XLA ops, fed via scalar prefetch):
+the grid enumerates (table block, batch chunk) pairs for every chunk whose id
+range overlaps the block, in block-major order, plus one dead visit for every
+block no chunk touches (so every output block is written; a dead visit
+contributes nothing because no id of its chunk lands in the block). Bounds:
+  W_real <= nchunks + 2*G - 1   (sorted ids => chunk spans telescope)
+so the static grid is W_max = nchunks + 2*G, padded with repeats of the last
+(block, chunk) pair that are masked out via `w >= w_real`.
+
+Kernels:
+- `block_sorted_lookup`: gathered[j] = table[ids[j]] (sentinel ids -> 0 rows).
+  Exact — each output row is 1.0 * the table row (+ exact zeros).
+- `block_sorted_aggregate`: dense duplicate-aggregated gradient
+  G[r] = sum_{j: ids[j]==r} grads[j], accumulated in f32 on the MXU.
+- `block_sorted_rowwise_adagrad`: aggregation kernel + the same masked
+  row-wise Adagrad epilogue as `train.optimizer.dense_rowwise_adagrad`
+  (drop-in for the sorted-feature table's update).
+
+`matmul_dtype` controls the one-hot contraction operand precision:
+"float32" (default; XLA-equivalent 3-pass f32 MXU, aggregation differs from
+segment-sum only by f32 summation order) or "bfloat16" (single pass, ~3x the
+MXU rate: grad/table values round to bf16 but accumulation stays f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _auto_interpret() -> bool:
+    """Compiled Mosaic on TPU; interpret mode elsewhere (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def plan_block_work(sids: jax.Array, n: int, r: int, c: int):
+    """Work-item schedule for sorted flat ids.
+
+    Returns (wi_block [W], wi_chunk [W], w_real [1]) int32, with
+    W = nchunks + 2*G static. `wi_block` is non-decreasing; visits of one
+    (output) chunk are consecutive, as are visits of one (output) block.
+    """
+    m = sids.shape[0]
+    assert m % c == 0, (m, c)
+    nchunks = m // c
+    g = -(-n // r)
+    w_max = nchunks + 2 * g
+
+    first = jnp.clip(sids[::c] // r, 0, g - 1)  # [nchunks], non-decreasing
+    last = jnp.clip(sids[c - 1 :: c] // r, 0, g - 1)
+    blocks = jnp.arange(g, dtype=jnp.int32)
+    lo = jnp.searchsorted(last, blocks, side="left")  # first chunk reaching b
+    hi = jnp.searchsorted(first, blocks, side="right") - 1  # last chunk at b
+    visits = jnp.maximum(1, hi - lo + 1)  # empty blocks get one dead visit
+    offs = jnp.concatenate([jnp.zeros(1, visits.dtype), jnp.cumsum(visits)])
+    w_real = offs[g].astype(jnp.int32)
+
+    wi_block = jnp.repeat(blocks, visits, total_repeat_length=w_max)
+    w_ar = jnp.arange(w_max, dtype=jnp.int32)
+    wi_block = jnp.where(w_ar < w_real, wi_block, g - 1).astype(jnp.int32)
+    k = w_ar - offs[wi_block].astype(jnp.int32)
+    wi_chunk = jnp.clip(lo[wi_block].astype(jnp.int32), 0, nchunks - 1) + k
+    wi_chunk = jnp.clip(wi_chunk, 0, nchunks - 1)
+    return wi_block, wi_chunk, w_real[None]
+
+
+def _ids3d(sids: jax.Array, c: int) -> jax.Array:
+    """[nchunks, 8, c] int32 view of the sorted ids (row 0 real; rows 1-7 are
+    sublane padding — int32 VMEM blocks need a second-to-last dim of 8)."""
+    nchunks = sids.shape[0] // c
+    return jnp.broadcast_to(
+        sids.reshape(nchunks, 1, c).astype(jnp.int32), (nchunks, 8, c)
+    )
+
+
+
+def _oh_dot(oh, x, cdt, dims):
+    """One-hot contraction at the requested precision.
+
+    cdt == bf16: single MXU pass, operands rounded to bf16, f32 accumulation.
+    cdt == f32: manual bf16x3 — x splits into three bf16 components covering
+    the full f32 mantissa (Mosaic lacks Precision.HIGH); with the exact-in-
+    bf16 one-hot operand this reconstructs f32 rows/sums at 3 passes instead
+    of HIGHEST's 6.
+    """
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    if cdt != jnp.float32:
+        return dot(oh.astype(cdt), x.astype(cdt))
+    oh = oh.astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(oh, hi) + dot(oh, mid) + dot(oh, lo)
+
+
+def _gather_kernel(wi_block, wi_chunk, w_real, ids_ref, tab_ref, out_ref, *, r, cdt, n_rows):
+    w = pl.program_id(0)
+    blk = wi_block[w]
+    t = wi_chunk[w]
+    is_first = (w == 0) | (wi_chunk[jnp.maximum(w - 1, 0)] != t)
+
+    @pl.when(w < w_real[0])
+    def _():
+        local = ids_ref[0, 0, :] - blk * r  # [C]
+        c = local.shape[0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, (c, r), 1) == local[:, None]
+        # Zero the ragged last block's pad rows: their VMEM contents are
+        # uninitialized, and 0 * NaN would poison the one-hot contraction.
+        row_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) + blk * r < n_rows
+        )
+        tab = jnp.where(row_valid, tab_ref[:], 0.0)
+        contrib = _oh_dot(oh, tab, cdt, ((1,), (0,)))
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = contrib
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+
+
+def _aggregate_kernel(
+    wi_block, wi_chunk, w_real, ids_ref, g_ref, out_ref, scratch, *, r, cdt
+):
+    w = pl.program_id(0)
+    blk = wi_block[w]
+    is_first = (w == 0) | (wi_block[jnp.maximum(w - 1, 0)] != blk)
+    last_w = pl.num_programs(0) - 1
+    is_last = (w == last_w) | (wi_block[jnp.minimum(w + 1, last_w)] != blk)
+
+    @pl.when(is_first)
+    def _():
+        scratch[:] = jnp.zeros_like(scratch)
+
+    @pl.when(w < w_real[0])
+    def _():
+        local = ids_ref[0, 0, :] - blk * r  # [C]
+        c = local.shape[0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0) == local[None, :]
+        scratch[:] += _oh_dot(oh, g_ref[:], cdt, ((1,), (0,)))
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = scratch[:]
+
+
+def _check(n, d, m, r, c):
+    if d % 128 or r % 8 or c % 128:
+        raise ValueError(f"block_sorted needs d%128==0, r%8==0, c%128==0 (d={d}, r={r}, c={c})")
+    if m % c:
+        raise ValueError(f"flat id count {m} must divide by chunk c={c}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "c", "matmul_dtype", "interpret")
+)
+def block_sorted_lookup(
+    table: jax.Array,  # [N, D]
+    sids: jax.Array,  # [M] int32, NON-DECREASING hashed ids; sentinel >= N -> zero row
+    r: int = 512,
+    c: int = 512,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> jax.Array:  # [M, D] f32: table[sids] (0 for sentinels)
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, d = table.shape
+    m = sids.shape[0]
+    c = min(c, m)
+    r = min(r, -(-n // 8) * 8)
+    _check(n, d, m, r, c)
+    g = -(-n // r)
+    nchunks = m // c
+    wi_block, wi_chunk, w_real = plan_block_work(sids, n, r, c)
+    cdt = jnp.dtype(matmul_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks + 2 * g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+        ],
+        out_specs=pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, r=r, cdt=cdt, n_rows=n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(wi_block, wi_chunk, w_real, _ids3d(sids, c), table)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("table_rows", "r", "c", "matmul_dtype", "interpret")
+)
+def block_sorted_aggregate(
+    table_rows: int,
+    sids: jax.Array,  # [M] int32 non-decreasing; sentinel >= N dropped
+    grads: jax.Array,  # [M, D]
+    r: int = 512,
+    c: int = 512,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> jax.Array:  # [N, D] f32 dense aggregated gradient
+    if interpret is None:
+        interpret = _auto_interpret()
+    n = table_rows
+    m, d = grads.shape
+    c = min(c, m)
+    r = min(r, -(-n // 8) * 8)
+    _check(n, d, m, r, c)
+    g = -(-n // r)
+    nchunks = m // c
+    wi_block, wi_chunk, w_real = plan_block_work(sids, n, r, c)
+    cdt = jnp.dtype(matmul_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks + 2 * g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
+            pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+        scratch_shapes=[pltpu.VMEM((r, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_aggregate_kernel, r=r, cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(wi_block, wi_chunk, w_real, _ids3d(sids, c), grads.astype(jnp.float32))
+
+
+def block_sorted_rowwise_adagrad(
+    table: jax.Array,
+    acc: jax.Array,
+    flat_ids: jax.Array,  # [M] NON-DECREASING (sentinel N for dead slots)
+    flat_grads: jax.Array,  # [M, D]
+    lr: float,
+    eps: float = 1e-10,
+    *,
+    r: int = 512,
+    c: int = 512,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in for `dense_rowwise_adagrad(..., ids_sorted=True)`: the MXU
+    aggregation kernel + the identical masked row-wise Adagrad epilogue.
+    `touched` is derived from the aggregated gradient (a touched row with an
+    exactly-zero aggregated gradient updates to the same values either way)."""
+    n, d = table.shape
+    g = block_sorted_aggregate(
+        n, flat_ids, flat_grads, r=r, c=c, matmul_dtype=matmul_dtype,
+        interpret=interpret,
+    )
+    touched = jnp.any(g != 0.0, axis=1)
+    g2 = jnp.mean(g * g, axis=1)
+    new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
+    denom = jnp.sqrt(new_acc) + eps
+    new_table = jnp.where(
+        touched[:, None], table.astype(jnp.float32) - lr * g / denom[:, None], table
+    )
+    return new_table.astype(table.dtype), new_acc.astype(acc.dtype)

@@ -161,9 +161,28 @@ def make_train_step(
     sorted_buf = (
         jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
     )
+    bs_kernel = train_cfg.block_sorted_kernel
+    if bs_kernel not in ("off", "float32", "bfloat16"):
+        raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
+    if bs_kernel != "off":
+        if sorted_table is None:
+            raise ValueError("block_sorted_kernel requires sorted_feature")
+        if model_cfg.table_dtype_of(sorted_table) != "float32":
+            raise ValueError(
+                f"block_sorted_kernel supports float32 tables only; "
+                f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
+            )
 
     def step(state: TrainState, batch: Batch):
-        pooled = two_tower.pooled_embeddings(state.tables, batch, model_cfg)
+        pooled = two_tower.pooled_embeddings(
+            state.tables,
+            batch,
+            model_cfg,
+            block_sorted_feature=(
+                train_cfg.sorted_feature if bs_kernel != "off" else None
+            ),
+            block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+        )
 
         # Streaming logQ: estimate each in-batch item's sampling probability
         # from running counts (popularity correction for in-batch negatives).
@@ -212,7 +231,19 @@ def make_train_step(
                 quantized_dense_rowwise_adagrad,
             )
 
-            if tname == sorted_table and upd in (
+            if tname == sorted_table and bs_kernel != "off" and not isinstance(
+                state.tables[tname], QuantizedTable
+            ):
+                import functools
+
+                from two_tower_recommender_model_tpu.ops.block_sorted import (
+                    block_sorted_rowwise_adagrad,
+                )
+
+                upd = functools.partial(
+                    block_sorted_rowwise_adagrad, matmul_dtype=bs_kernel
+                )
+            elif tname == sorted_table and upd in (
                 opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
             ):
                 import functools
