@@ -304,6 +304,108 @@ def make_replicated_update(mesh, lr: float, eps: float):
     return update
 
 
+def make_sorted_sharded_lookup(mesh, matmul_dtype: str):
+    """Row-sharded pooled lookup for the host-sorted single-slot feature via
+    the block-sorted one-hot MXU kernel (`ops/block_sorted.py`): the global
+    batch arrives sorted by this table's hashed ids (missing last), so after
+    the id all_gather each device sees a non-decreasing id stream and can
+    stream its table shard block-by-block instead of random-gathering rows.
+    Foreign ids (owned by another shard) fall outside every local block and
+    contribute exact zero rows, which the psum_scatter then fills in from the
+    owning device — the same partial-pool contract as `make_sharded_lookup`."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(FLAT_AXES, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids, w):
+        from two_tower_recommender_model_tpu.ops.block_sorted import (
+            block_sorted_lookup,
+        )
+
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        rows = table_shard.shape[0]
+        sentinel = mesh.devices.size * rows  # > every shard's local range
+        key = jnp.where(w_all != 0, ids_all, sentinel).astype(jnp.int32)
+        local = key.reshape(-1) - didx * rows  # non-decreasing; OOB -> 0 rows
+        emb = block_sorted_lookup(table_shard, local, matmul_dtype=matmul_dtype)
+        part = emb * jnp.where(w_all != 0, w_all, 0.0).reshape(-1, 1)
+        out = jax.lax.psum_scatter(part, DATA_AXIS, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return lookup
+
+
+def make_sorted_sharded_update(
+    mesh, lr: float, eps: float, bs_kernel: str = "off",
+    buffer_dtype=None,
+):
+    """Row-sharded fused Adagrad for the host-sorted feature's table.
+
+    The globally sorted id stream stays non-decreasing after subtracting the
+    shard base, so each device can use the fast sorted update paths on its
+    own rows: the block-sorted MXU aggregation kernel (`bs_kernel` float32/
+    bfloat16) or the transient-dense scatter with the `indices_are_sorted`
+    hint. Below-shard ids go negative — jnp scatters WRAP negative indices
+    (verified), so the scatter path zero-gates those grads and clamps ids
+    into [0, rows] (row 0 then aggregates an exact zero, a no-op update);
+    the block kernels drop out-of-range ids naturally (no one-hot match).
+
+    Requires the GLOBAL batch sorted by this table's hashed ids — true when
+    one process feeds the whole batch (`PackedFeaturizer(sort_feature=...)`).
+    Multi-host slices are only per-host sorted; the builder gates on
+    `jax.process_count() == 1`."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(FLAT_AXES, None), P(FLAT_AXES),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(FLAT_AXES, None), P(FLAT_AXES)),
+        check_vma=False,
+    )
+    def update(table_shard, acc_shard, ids, w, row_g):
+        didx = jax.lax.axis_index(FLAT_AXES)
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
+        rows = table_shard.shape[0]
+        sentinel = mesh.devices.size * rows
+        key = jnp.where(w_all != 0, ids_all, sentinel).astype(jnp.int32)
+        local = key.reshape(-1) - didx * rows  # non-decreasing
+        flat_g = g_all.reshape(-1, g_all.shape[-1])
+        if bs_kernel != "off":
+            from two_tower_recommender_model_tpu.ops.block_sorted import (
+                block_sorted_rowwise_adagrad,
+            )
+
+            return block_sorted_rowwise_adagrad(
+                table_shard, acc_shard, local, flat_g, lr, eps,
+                matmul_dtype=bs_kernel,
+            )
+        upd = opt_lib.pick_sparse_update(rows, local.shape[0])
+        if upd is opt_lib.dense_rowwise_adagrad:
+            flat_g = jnp.where((local >= 0)[:, None], flat_g, 0.0)
+            flat_ids = jnp.clip(local, 0, rows)
+            return opt_lib.dense_rowwise_adagrad(
+                table_shard, acc_shard, flat_ids, flat_g, lr, eps,
+                ids_sorted=True, buffer_dtype=buffer_dtype,
+            )
+        # segment path sorts internally and drops out-of-range rows itself
+        return opt_lib.sparse_rowwise_adagrad(
+            table_shard, acc_shard, local, flat_g, lr, eps
+        )
+
+    return update
+
+
 def make_column_lookup(mesh):
     """Weighted-sum pooled lookup over a column-sharded table: every device
     holds all rows for a column slice; the slices concat back via an
@@ -380,7 +482,13 @@ def _local_weighted_pool(table, ids, w):
     return (emb * w[..., None].astype(emb.dtype)).sum(axis=1)
 
 
-def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
+def make_sharded_forward(
+    model_cfg: ModelConfig,
+    mesh,
+    plan: ShardingPlan,
+    block_sorted_feature: str | None = None,
+    block_sorted_dtype: str = "float32",
+):
     from two_tower_recommender_model_tpu.ops.quantized import (
         QuantizedTable,
         quantized_pooled_lookup,
@@ -389,6 +497,10 @@ def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
     lookup = make_sharded_lookup(mesh)
     col_lookup = make_column_lookup(mesh)
     q_lookup = make_quantized_sharded_lookup(mesh)
+    bs_lookup = (
+        make_sorted_sharded_lookup(mesh, block_sorted_dtype)
+        if block_sorted_feature is not None else None
+    )
 
     def pooled_embeddings(tables, batch: Batch):
         pooled, weights = {}, {}
@@ -396,6 +508,9 @@ def make_sharded_forward(model_cfg: ModelConfig, mesh, plan: ShardingPlan):
             feat = batch.features[fc.name]
             w = _pool_weights(fc, feat)
             weights[fc.name] = w
+            if fc.name == block_sorted_feature:
+                pooled[fc.name] = bs_lookup(tables[fc.table], feat.ids, w)
+                continue
             spec = plan[fc.table]
             if spec.strategy == TABLE_WISE:
                 # bucket coordinates: owner's shard base + table offset + id.
@@ -444,11 +559,49 @@ def make_sharded_train_step(
     step (`train/step.py`), with sharded lookup/update collectives. Dense
     tower grads sync over the data axis automatically (replicated params,
     data-sharded batch => XLA inserts the psum)."""
+    from two_tower_recommender_model_tpu.train.step import validate_sorted_feature
+
     loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg)
-    _, pooled_embeddings = make_sharded_forward(model_cfg, mesh, plan)
+    sorted_table = validate_sorted_feature(model_cfg, train_cfg)
+    bs_kernel = train_cfg.block_sorted_kernel
+    if bs_kernel not in ("off", "float32", "bfloat16"):
+        raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
+    if bs_kernel != "off" and sorted_table is None:
+        raise ValueError("block_sorted_kernel requires sorted_feature")
+    if sorted_table is not None:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "sorted_feature in the sharded step requires a single process "
+                "(multi-host batch slices are only per-host sorted; the "
+                "per-shard sorted fast paths need the GLOBAL batch sorted)"
+            )
+        if plan[sorted_table].strategy != ROW_SHARDED:
+            raise ValueError(
+                f"sorted_feature table {sorted_table!r} must be row_sharded "
+                f"in the sharded step (plan says {plan[sorted_table].strategy})"
+            )
+        if bs_kernel != "off" and model_cfg.table_dtype_of(sorted_table) != "float32":
+            raise ValueError(
+                f"block_sorted_kernel supports float32 tables only; "
+                f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
+            )
+    _, pooled_embeddings = make_sharded_forward(
+        model_cfg, mesh, plan,
+        block_sorted_feature=(train_cfg.sorted_feature if bs_kernel != "off" else None),
+        block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+    )
     sharded_update = make_sharded_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
+    sorted_update = None
+    if sorted_table is not None:
+        sorted_update = make_sorted_sharded_update(
+            mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+            bs_kernel=bs_kernel,
+            buffer_dtype=(
+                jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
+            ),
+        )
     replicated_update = make_replicated_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
@@ -528,7 +681,10 @@ def make_sharded_train_step(
                         )
                     upd = column_updates[tname]
                 elif spec.strategy == ROW_SHARDED:
-                    upd = q_sharded_update if quantized else sharded_update
+                    if tname == sorted_table and not quantized:
+                        upd = sorted_update
+                    else:
+                        upd = q_sharded_update if quantized else sharded_update
                 else:
                     upd = replicated_update
             new_tables[tname], new_acc[tname] = upd(
