@@ -233,6 +233,121 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
     }
 
 
+def measure_h2d_health() -> dict:
+    """Tunnel preflight: one 8MB H2D put + value fetch, so every recorded
+    bench carries the wire condition it ran under (the axon tunnel degrades
+    to ~20-80 MB/s under contention vs ~1.4 GB/s healthy — a 3-5x swing on
+    every wire-bound number; DESIGN §5b)."""
+    import numpy as np
+    import jax
+
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 1 << 30, size=(2 << 20,), dtype=np.int32)  # 8MB
+    jax.device_put(np.ones(8, np.float32)).block_until_ready()  # warm path
+    t0 = time.perf_counter()
+    dev = jax.device_put(payload)
+    _ = int(dev[-1])  # value fetch: proves the transfer completed remotely
+    dt = time.perf_counter() - t0
+    mb = payload.nbytes / 1e6
+    return {"mb": mb, "ms": round(dt * 1e3, 1), "mb_per_s": round(mb / dt, 1)}
+
+
+def measure_device_step(variant: str, batch_size: int, k: int = 16,
+                        pool_n: int = 8, reps: int = 5) -> dict:
+    """Chip step capacity with the wire excluded: K chained train steps run
+    inside ONE dispatch (`lax.scan` on donated state) over an on-device
+    payload pool transferred once; the reported time is the (2K - K)
+    dispatch DIFFERENCE, so constant dispatch/RTT/tunnel overheads cancel
+    (tools/bench_step_device.py methodology — immune to tunnel congestion
+    and to payload-keyed dispatch dedupe, which the chained-loss decrease
+    guard would catch anyway). Reconciles the hot-loop number (wire
+    included) with the device roofline."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedBatch,
+        PackedFeaturizer,
+        unpack_batch,
+    )
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    table_dtype, sort, bf16buf, _compact, bsk = parse_variant(variant)
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
+    )
+    if table_dtype != "float32":
+        mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
+    tcfg = cfg_lib.TrainConfig(
+        batch_size=batch_size,
+        sorted_feature="user_id" if sort else None,
+        scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
+        block_sorted_kernel=bsk,
+    )
+    feat = PackedFeaturizer(mcfg, pack_label=True,
+                            sort_feature="user_id" if sort else None)
+    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
+                              noise=0.05, latent_dim=4)
+    pool = jnp.asarray(np.stack(
+        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(pool_n)]
+    ))  # [P, B, S], transferred once
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+    def run(state, pool, n_steps):
+        def body(carry, i):
+            pb = PackedBatch(
+                ids_raw=jax.lax.dynamic_index_in_dim(pool, i % pool_n, keepdims=False),
+                labels=jnp.zeros(0, jnp.int32),
+            )
+            carry, out = core(carry, unpack_batch(pb, mcfg, pack_label=True))
+            return carry, out["loss"]
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(n_steps, dtype=jnp.int32))
+        return state, losses[-1]
+
+    state, v = run(state, pool, k)      # compile + warm
+    losses = [round(float(v), 5)]
+    state, v = run(state, pool, 2 * k)  # compile + warm
+    losses.append(round(float(v), 5))
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, v = run(state, pool, k)
+        losses.append(round(float(v), 5))
+        t1 = time.perf_counter()
+        state, v = run(state, pool, 2 * k)
+        losses.append(round(float(v), 5))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))  # k extra steps
+    if not (losses[-1] < losses[0]):
+        raise RuntimeError(
+            f"device-step loss did not decrease ({losses}) — steps may not "
+            "have executed; refusing to report."
+        )
+    per_step = _median(diffs) / k
+    eps = batch_size / per_step
+    return {
+        "examples_per_sec": round(eps, 1),
+        "step_ms": round(per_step * 1e3, 3),
+        "diff_windows_ms": [round(d * 1e3, 1) for d in sorted(diffs)],
+        "losses": losses,
+        "roofline": check_roofline(
+            eps, roofline_model(batch_size, table_dtype, wire_bytes=0.0),
+            f"device_step[{variant}]"),
+    }
+
+
 def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
     """End-to-end epoch from TTRS shards on local disk — the number that
     reconciles with the reference's from-disk 27k ex/s epoch
@@ -313,6 +428,9 @@ def main() -> None:
         "float32+sorted,float32,bfloat16+sorted+compact,int8+sorted+compact",
     ).split(",")
 
+    h2d = measure_h2d_health()
+    print(f"# h2d preflight: {h2d}", file=sys.stderr, flush=True)
+
     variants = {}
     for dt in dtypes:
         variants[dt] = measure_hot_loop(dt, batch_size, macro, windows, per_window)
@@ -348,6 +466,11 @@ def main() -> None:
         "windows_examples_per_sec": headline_var["windows_examples_per_sec"],
         "window_losses": headline_var["window_losses"],
         "roofline": headline_var["roofline"],
+        "h2d_preflight": {
+            **h2d,
+            "healthy_mb_per_s": 1400,
+            "degraded": h2d["mb_per_s"] < 300,
+        },
         "variants": {
             dt: {
                 "examples_per_sec": round(v["examples_per_sec"], 1),
@@ -358,6 +481,15 @@ def main() -> None:
             for dt, v in variants.items()
         },
     }
+    device_variant = os.environ.get("BENCH_DEVICE_VARIANT",
+                                    "float32+sorted+blockkernel")
+    if device_variant:
+        ds_rec = measure_device_step(device_variant, batch_size)
+        record["device_step"] = {"variant": device_variant, **ds_rec}
+        print(f"# device_step[{device_variant}]: "
+              f"{ds_rec['examples_per_sec']:.3g} ex/s ({ds_rec['step_ms']} ms/step) "
+              f"losses={ds_rec['losses']}", file=sys.stderr, flush=True)
+
     if disk_rows > 0:
         fd = measure_from_disk(batch_size, macro, disk_rows)
         check_roofline(
