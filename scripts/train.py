@@ -52,7 +52,13 @@ def parse_args():
     ap.add_argument("--sorted-feature", default=None,
                     help="single-slot feature to host-sort each batch by: enables the "
                          "indices_are_sorted scatter fast path for its table "
-                         "(packed single-device path)")
+                         "(packed path, single- or multi-device, one process)")
+    ap.add_argument("--block-sorted-kernel", choices=["off", "float32", "bfloat16"],
+                    default="off",
+                    help="route the sorted feature's gather/update through the "
+                         "block-sorted one-hot MXU kernels (DESIGN §6e); float32 "
+                         "keeps f32-exact math, bfloat16 rounds operands for ~3x "
+                         "MXU rate")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -100,11 +106,18 @@ def main():
         limit_val_batches=args.limit_val_batches,
         limit_test_batches=args.limit_test_batches,
         sorted_feature=args.sorted_feature,
+        block_sorted_kernel=args.block_sorted_kernel,
     )
-    if args.sorted_feature and (args.no_packed or (not args.no_shard and len(jax.devices()) > 1)):
-        # the hinted update lives in the single-device packed step; a
-        # featurizer that doesn't sort would silently break the hint's promise
-        raise SystemExit("--sorted-feature requires the packed single-device path")
+    if args.sorted_feature and (args.no_packed or jax.process_count() > 1):
+        # the hinted updates live in the packed steps (the per-batch loop's
+        # Featurizer doesn't sort, silently breaking the hint's promise), and
+        # multi-host batch slices are only per-host sorted
+        raise SystemExit(
+            "--sorted-feature requires the packed path in a single process "
+            "(single- or multi-device)"
+        )
+    if args.block_sorted_kernel != "off" and not args.sorted_feature:
+        raise SystemExit("--block-sorted-kernel requires --sorted-feature")
     if args.wire_format == "compact" and (
         args.no_packed or (not args.no_shard and len(jax.devices()) > 1)
     ):

@@ -136,3 +136,49 @@ def test_cli_resume_continues_from_epoch(csv_dir, tmp_path):
         restored, _, extra = c.restore(template)
     assert int(restored.step) == 10
     assert extra["completed_epoch"] == 1
+
+
+def test_cli_sharded_sorted_feature(csv_dir, tmp_path):
+    """--sorted-feature on the multi-device (sharded, single-process) packed
+    path: the per-shard sorted fast paths (round-2 extension) train through
+    the CLI and produce finite metrics."""
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+
+    r = _run([
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "1", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--limit-train-batches", "10", "--limit-val-batches", "3",
+        "--limit-test-batches", "3",
+        "--runs-root", str(tmp_path / "runs"),
+        "--sorted-feature", "user_id",
+    ])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "test_auroc" in r.stdout
+    # the sharded plan must have run (8 simulated devices, no --no-shard)
+    assert "row_sharded" in r.stdout or "replicated" in r.stdout
+
+
+def test_cli_sorted_feature_rejected_off_packed(csv_dir, tmp_path):
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    r = _run([
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "1", "--batch-size", "64",
+        "--no-packed", "--sorted-feature", "user_id",
+    ])
+    assert r.returncode != 0
+    assert "packed path" in (r.stdout + r.stderr)

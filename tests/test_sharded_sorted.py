@@ -140,9 +140,24 @@ def test_block_sorted_sharded_matches_single_device(mesh_shape):
                          rtol=1e-4, atol=1e-5)
 
 
-def test_sorted_feature_requires_row_sharded():
-    mcfg, _ = _make_setup(embedding_dim=16, batch_size=64, n_batches=0)
-    tcfg = cfg_lib.TrainConfig(sorted_feature="user_id")
+def test_sorted_replicated_matches_single_device():
+    """A REPLICATED sorted table takes the deterministic every-device sorted
+    update (globally sorted flat ids need no shard-base shift)."""
+    mcfg, batches = _make_setup(embedding_dim=16, batch_size=64)
+    tcfg = cfg_lib.TrainConfig(
+        sparse_learning_rate=0.05, learning_rate=1e-3, sorted_feature="user_id"
+    )
+    ref, got = _run_pair(
+        mcfg, tcfg, batches, (8, 1),
+        force={"t_user_id": REPLICATED, "t_product_id": ROW_SHARDED},
+    )
+    _assert_states_close(ref, got)
+
+
+def test_block_kernel_requires_row_sharded():
+    mcfg, _ = _make_setup(embedding_dim=128, batch_size=128, n_batches=0)
+    tcfg = cfg_lib.TrainConfig(sorted_feature="user_id",
+                               block_sorted_kernel="float32")
     mesh = make_mesh(8, 1)
     plan = plan_sharding(mcfg, 8, force={
         "t_user_id": REPLICATED, "t_product_id": REPLICATED})

@@ -41,6 +41,7 @@ from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_up
 from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
 from two_tower_recommender_model_tpu.parallel.planner import (
     COLUMN_SHARDED,
+    REPLICATED,
     ROW_SHARDED,
     TABLE_WISE,
     ShardingPlan,
@@ -406,6 +407,41 @@ def make_sorted_sharded_update(
     return update
 
 
+def make_replicated_sorted_update(mesh, lr: float, eps: float, buffer_dtype=None):
+    """DDP-style update for a REPLICATED table whose feature is host-sorted:
+    the gathered global flat ids are non-decreasing (missing slots carry the
+    sentinel n, which the host sort keyed them by), so the deterministic
+    every-device update can take the `indices_are_sorted` transient-dense
+    fast path when the table is small enough for it to win."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def update(table, acc, ids, w, row_g):
+        ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
+        g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
+        n = table.shape[0]
+        flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
+        flat_g = g_all.reshape(-1, g_all.shape[-1])
+        upd = opt_lib.pick_sparse_update(n, flat_ids.shape[0])
+        if upd is opt_lib.dense_rowwise_adagrad:
+            return opt_lib.dense_rowwise_adagrad(
+                table, acc, flat_ids, flat_g, lr, eps,
+                ids_sorted=True, buffer_dtype=buffer_dtype,
+            )
+        return opt_lib.sparse_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
+
+    return update
+
+
 def make_column_lookup(mesh):
     """Weighted-sum pooled lookup over a column-sharded table: every device
     holds all rows for a column slice; the slices concat back via an
@@ -575,16 +611,24 @@ def make_sharded_train_step(
                 "(multi-host batch slices are only per-host sorted; the "
                 "per-shard sorted fast paths need the GLOBAL batch sorted)"
             )
-        if plan[sorted_table].strategy != ROW_SHARDED:
+        if plan[sorted_table].strategy not in (ROW_SHARDED, REPLICATED):
             raise ValueError(
-                f"sorted_feature table {sorted_table!r} must be row_sharded "
-                f"in the sharded step (plan says {plan[sorted_table].strategy})"
+                f"sorted_feature table {sorted_table!r} must be row_sharded or "
+                f"replicated in the sharded step (plan says "
+                f"{plan[sorted_table].strategy})"
             )
-        if bs_kernel != "off" and model_cfg.table_dtype_of(sorted_table) != "float32":
-            raise ValueError(
-                f"block_sorted_kernel supports float32 tables only; "
-                f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
-            )
+        if bs_kernel != "off":
+            if plan[sorted_table].strategy != ROW_SHARDED:
+                raise ValueError(
+                    f"block_sorted_kernel needs table {sorted_table!r} row_sharded "
+                    f"in the sharded step (plan says {plan[sorted_table].strategy}); "
+                    "force it via plan_sharding(..., force={...: 'row_sharded'})"
+                )
+            if model_cfg.table_dtype_of(sorted_table) != "float32":
+                raise ValueError(
+                    f"block_sorted_kernel supports float32 tables only; "
+                    f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
+                )
     _, pooled_embeddings = make_sharded_forward(
         model_cfg, mesh, plan,
         block_sorted_feature=(train_cfg.sorted_feature if bs_kernel != "off" else None),
@@ -593,15 +637,21 @@ def make_sharded_train_step(
     sharded_update = make_sharded_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
-    sorted_update = None
+    sorted_update = sorted_rep_update = None
     if sorted_table is not None:
-        sorted_update = make_sorted_sharded_update(
-            mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
-            bs_kernel=bs_kernel,
-            buffer_dtype=(
-                jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
-            ),
+        sorted_buf = (
+            jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
         )
+        if plan[sorted_table].strategy == ROW_SHARDED:
+            sorted_update = make_sorted_sharded_update(
+                mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+                bs_kernel=bs_kernel, buffer_dtype=sorted_buf,
+            )
+        else:  # replicated
+            sorted_rep_update = make_replicated_sorted_update(
+                mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+                buffer_dtype=sorted_buf,
+            )
     replicated_update = make_replicated_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
     )
@@ -685,6 +735,8 @@ def make_sharded_train_step(
                         upd = sorted_update
                     else:
                         upd = q_sharded_update if quantized else sharded_update
+                elif tname == sorted_table and not quantized:
+                    upd = sorted_rep_update
                 else:
                     upd = replicated_update
             new_tables[tname], new_acc[tname] = upd(
