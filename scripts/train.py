@@ -230,6 +230,11 @@ def main():
             packed_feat = PackedFeaturizer(
                 mcfg, pack_label=True, sort_feature=tcfg.sorted_feature
             )
+        # unpack with the featurizer's ACTUAL label encoding — a prepacked
+        # dataset written with pack_label=False stores labels in a separate
+        # column, and unpacking it as if bit-30-packed silently zeroes every
+        # label
+        pl = packed_feat.pack_label
         if sharded:
             from two_tower_recommender_model_tpu.parallel import (
                 macro_batch_sharding, make_sharded_multi_step,
@@ -238,10 +243,11 @@ def main():
                 make_sharded_train_step as _msts,
             )
 
-            multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan)
+            multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan,
+                                            pack_label=pl)
             core_sh = _msts(mcfg, tcfg, dense_opt, mesh, plan, donate=False, jit=False)
             tail_step = _jax.jit(
-                lambda s, pb: core_sh(s, unpack_batch(pb, mcfg, pack_label=True)),
+                lambda s, pb: core_sh(s, unpack_batch(pb, mcfg, pack_label=pl)),
                 donate_argnums=(0,),
             )
             macro_sh = macro_batch_sharding(mesh)
@@ -257,7 +263,7 @@ def main():
                     make_compact_train_step,
                 )
 
-                scheme = CompactScheme.from_model(mcfg, pack_label=True)
+                scheme = CompactScheme.from_model(mcfg, pack_label=pl)
                 packed_feat = CompactFeaturizer(packed_feat, scheme)
                 multi = make_multi_step(
                     lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme))
@@ -265,9 +271,9 @@ def main():
                 tail_step = make_compact_train_step(core, mcfg, scheme)
             else:
                 multi = make_multi_step(
-                    lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True))
+                    lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=pl))
                 )
-                tail_step = make_packed_train_step(core, mcfg, pack_label=True)
+                tail_step = make_packed_train_step(core, mcfg, pack_label=pl)
             macro_sh = tail_sh = None
 
         # prepacked val/test datasets eval through the packed eval step
@@ -284,7 +290,8 @@ def main():
                 make_sharded_eval_step(mcfg, tcfg, mesh, plan) if sharded
                 else make_eval_step(mcfg, tcfg)
             )
-            eval_step = make_packed_eval_step(base_eval, mcfg, pack_label=True)
+            eval_step = make_packed_eval_step(base_eval, mcfg,
+                                              pack_label=featurizer.pack_label)
 
         def train_epoch_fn(state, epoch):
             train_loader.set_epoch(epoch)

@@ -228,6 +228,15 @@ class CompactFeaturizer:
     preserved end to end."""
 
     def __init__(self, inner, scheme: CompactScheme):
+        inner_pl = getattr(inner, "pack_label", None)
+        if inner_pl is not None and inner_pl != scheme.pack_label:
+            # a mismatch silently corrupts data: scheme.pack_label=False on a
+            # label-packed inner hashes raw|1<<30 values; the reverse misreads
+            # bit 30 of legal ids >= 2^30 as a label
+            raise ValueError(
+                f"CompactScheme.pack_label={scheme.pack_label} does not match "
+                f"the inner featurizer's pack_label={inner_pl}"
+            )
         self.inner = inner
         self.scheme = scheme
 

@@ -285,16 +285,14 @@ def block_sorted_rowwise_adagrad(
     aggregation kernel + the identical masked row-wise Adagrad epilogue.
     `touched` is derived from the aggregated gradient (a touched row with an
     exactly-zero aggregated gradient updates to the same values either way)."""
+    from two_tower_recommender_model_tpu.train.optimizer import (
+        masked_rowwise_adagrad_epilogue,
+    )
+
     n, d = table.shape
     g = block_sorted_aggregate(
         n, flat_ids, flat_grads, r=r, c=c, matmul_dtype=matmul_dtype,
         interpret=interpret,
     )
     touched = jnp.any(g != 0.0, axis=1)
-    g2 = jnp.mean(g * g, axis=1)
-    new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
-    denom = jnp.sqrt(new_acc) + eps
-    new_table = jnp.where(
-        touched[:, None], table.astype(jnp.float32) - lr * g / denom[:, None], table
-    )
-    return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
+    return masked_rowwise_adagrad_epilogue(table, acc, g, touched, lr, eps)

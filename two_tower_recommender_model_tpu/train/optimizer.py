@@ -94,6 +94,27 @@ def pick_sparse_update(num_rows: int, batch_slots: int):
     return dense_rowwise_adagrad if num_rows <= 8 * batch_slots else sparse_rowwise_adagrad
 
 
+def masked_rowwise_adagrad_epilogue(
+    table: jax.Array,  # [N, D]
+    acc: jax.Array,  # [N]
+    g: jax.Array,  # [N, D] f32 dense aggregated gradient
+    touched: jax.Array,  # [N] bool — rows to update
+    lr: float,
+    eps: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-wise Adagrad over a dense aggregated gradient, applied only to
+    `touched` rows — the shared epilogue of the transient-dense scatter path
+    and the block-sorted MXU aggregation kernel (any change to the Adagrad
+    math must hit both, or the oracle-parity contract between them breaks)."""
+    g2 = jnp.mean(g * g, axis=1)
+    new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
+    denom = jnp.sqrt(new_acc) + eps
+    new_table = jnp.where(
+        touched[:, None], table.astype(jnp.float32) - lr * g / denom[:, None], table
+    )
+    return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
+
+
 def dense_rowwise_adagrad(
     table: jax.Array,
     acc: jax.Array,
@@ -125,13 +146,7 @@ def dense_rowwise_adagrad(
         .at[flat_ids]
         .set(True, mode="drop", indices_are_sorted=ids_sorted)
     )
-    g2 = jnp.mean(g * g, axis=1)
-    new_acc = jnp.where(touched, acc.astype(jnp.float32) + g2, acc.astype(jnp.float32))
-    denom = jnp.sqrt(new_acc) + eps
-    new_table = jnp.where(
-        touched[:, None], table.astype(jnp.float32) - lr * g / denom[:, None], table
-    )
-    return new_table.astype(table.dtype), new_acc.astype(acc.dtype)
+    return masked_rowwise_adagrad_epilogue(table, acc, g, touched, lr, eps)
 
 
 def sparse_rowwise_adagrad_columns(

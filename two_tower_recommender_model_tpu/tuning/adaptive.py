@@ -156,24 +156,44 @@ def run_adaptive_sweep(
         return SweepResult(results, metric, mode)
 
     with ProcessPoolExecutor(max_workers=max_workers) as pool:
-        pending = {}
+        pending: dict = {}  # future -> (trial index, config)
         launched = 0
+        pool_broken = False
+
+        def submit(cfg, idx):
+            nonlocal pool_broken
+            try:
+                pending[pool.submit(_call_trial, trial_fn, cfg, idx, logger_root)] = (idx, cfg)
+                return True
+            except Exception:  # pool already broken: stop launching
+                pool_broken = True
+                return False
+
         while launched < num_trials and len(pending) < max_workers:
-            cfg = sampler.suggest()
-            pending[pool.submit(_call_trial, trial_fn, cfg, launched, logger_root)] = launched
+            if not submit(sampler.suggest(), launched):
+                break
             launched += 1
         while pending:
             done, _ = wait(list(pending), return_when=FIRST_COMPLETED)
             for fut in done:
-                pending.pop(fut)
-                idx, cfg, metrics, err = fut.result()
+                fidx, fcfg = pending.pop(fut)
+                try:
+                    idx, cfg, metrics, err = fut.result()
+                except Exception as e:
+                    # worker process died (OOM/kill/segfault) — _call_trial
+                    # catches in-trial exceptions, so this is process death.
+                    # Record it and keep the completed results instead of
+                    # letting BrokenProcessPool discard the whole sweep.
+                    results.append(TrialResult(
+                        fidx, fcfg, {}, error=f"worker died: {e!r}"))
+                    pool_broken = True
+                    continue
                 results.append(TrialResult(idx, cfg, metrics, error=err))
                 if err is None and metric in metrics:
                     sampler.observe(cfg, sign * metrics[metric])
-                if launched < num_trials:
-                    ncfg = sampler.suggest()
-                    pending[pool.submit(_call_trial, trial_fn, ncfg, launched, logger_root)] = launched
-                    launched += 1
+                if launched < num_trials and not pool_broken:
+                    if submit(sampler.suggest(), launched):
+                        launched += 1
     results.sort(key=lambda t: t.index)
     return SweepResult(results, metric, mode)
 
@@ -236,7 +256,16 @@ def run_asha(
                 break
             t.resource = budget
             t.rung = r
-            val = sign * float(metrics[metric])
+            raw = float(metrics.get(metric, float("nan")))
+            if not math.isfinite(raw):
+                # a diverged (NaN/inf) or missing metric must STOP the trial:
+                # NaN compares False against the rung threshold, which would
+                # promote the diverged trial through every rung and poison the
+                # rung statistics
+                t.error = f"non-finite or missing metric {metric!r}: {metrics.get(metric)!r}"
+                t.stopped = True
+                break
+            val = sign * raw
             t.metric_value = val
             t.history.append((budget, dict(metrics)))
             rung_results[r].append(val)
@@ -255,10 +284,17 @@ def run_asha(
 
 
 def asha_best(trials: list[AshaTrial], mode: str = "min") -> AshaTrial:
-    done = [t for t in trials if t.metric_value is not None]
+    """Best trial AT THE HIGHEST REACHED RUNG. Metric values from different
+    rungs are not comparable (a trial stopped after 1 epoch was explicitly
+    judged not worth promoting — its early metric must not beat fully-trained
+    survivors), so only trials that reached the deepest rung compete."""
+    done = [t for t in trials
+            if t.metric_value is not None and math.isfinite(t.metric_value)]
     if not done:
         raise RuntimeError("no completed trials")
-    return min(done, key=lambda t: t.metric_value)  # metric_value is sign-folded
+    top_rung = max(t.rung for t in done)
+    at_top = [t for t in done if t.rung == top_rung]
+    return min(at_top, key=lambda t: t.metric_value)  # metric_value is sign-folded
 
 
 def asha_total_resource(trials: list[AshaTrial]) -> int:

@@ -19,7 +19,9 @@ Layout:
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import fcntl
 import json
 import os
 import shutil
@@ -50,18 +52,30 @@ class ModelRegistry:
 
         model_dir = os.path.join(self.root, name)
         os.makedirs(model_dir, exist_ok=True)
-        versions = self._versions(name)
-        v = (max((e["version"] for e in versions), default=0)) + 1
+        # atomic version allocation: os.mkdir either claims the number or
+        # fails — a crashed/concurrent register can never reuse or overwrite
+        # an existing version directory (numbers may skip past orphans of
+        # crashed attempts, which is the immutability-preserving outcome)
+        v = (max((e["version"] for e in self._versions(name)), default=0)) + 1
+        while True:
+            try:
+                os.mkdir(os.path.join(model_dir, f"v{v}"))
+                break
+            except FileExistsError:
+                v += 1
         export_model(os.path.join(model_dir, f"v{v}"), model_cfg, state)
-        versions.append({
+        entry = {
             "version": v,
             "stage": "None",
             "run_id": run_id,
             "description": description,
             "metrics": metrics or {},
             "created": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-        })
-        self._write(name, versions)
+        }
+        with self._lock(name):
+            versions = self._versions(name)
+            versions.append(entry)
+            self._write(name, versions)
         return v
 
     def set_stage(self, name: str, version: int, stage: str,
@@ -70,21 +84,23 @@ class ModelRegistry:
         current Production version (the MLflow default workflow)."""
         if stage not in STAGES:
             raise ValueError(f"stage {stage!r} not in {STAGES}")
-        versions = self._versions(name)
-        entry = self._entry(versions, name, version)
-        if stage == "Production" and archive_existing:
-            for e in versions:
-                if e["stage"] == "Production" and e["version"] != version:
-                    e["stage"] = "Archived"
-        entry["stage"] = stage
-        self._write(name, versions)
+        with self._lock(name):
+            versions = self._versions(name)
+            entry = self._entry(versions, name, version)
+            if stage == "Production" and archive_existing:
+                for e in versions:
+                    if e["stage"] == "Production" and e["version"] != version:
+                        e["stage"] = "Archived"
+            entry["stage"] = stage
+            self._write(name, versions)
 
     def delete_version(self, name: str, version: int) -> None:
-        versions = self._versions(name)
-        entry = self._entry(versions, name, version)
-        shutil.rmtree(os.path.join(self.root, name, f"v{version}"), ignore_errors=True)
-        versions.remove(entry)
-        self._write(name, versions)
+        with self._lock(name):
+            versions = self._versions(name)
+            entry = self._entry(versions, name, version)
+            shutil.rmtree(os.path.join(self.root, name, f"v{version}"), ignore_errors=True)
+            versions.remove(entry)
+            self._write(name, versions)
 
     # -- read side ---------------------------------------------------------
 
@@ -135,10 +151,22 @@ class ModelRegistry:
             return json.load(f)
 
     def _write(self, name: str, versions: list[dict]) -> None:
-        tmp = self._versions_path(name) + ".tmp"
+        tmp = f"{self._versions_path(name)}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(versions, f, indent=1)
         os.replace(tmp, self._versions_path(name))
+
+    @contextlib.contextmanager
+    def _lock(self, name: str):
+        """flock-guarded read-modify-write of versions.json (concurrent
+        registers on one host must not drop each other's index entries)."""
+        path = os.path.join(self.root, name, ".versions.lock")
+        with open(path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
 
     def _entry(self, versions: list[dict], name: str, version: int) -> dict:
         for e in versions:
