@@ -276,3 +276,87 @@ def test_comm_volume_report_groups_and_totals():
         "big": ROW_SHARDED})
     rep2 = comm_volume_report(mcfg2, plan2, batch_size=256)
     assert rep.splitlines()[-1] == rep2.splitlines()[-1]
+
+
+def test_int8_table_wise_matches_single_device():
+    """Round 2b: int8 tables can shard TABLE_WISE (quantized bucket with a
+    parallel scales array); numerics == the single-device quantized step."""
+    import dataclasses
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=100, num_items=60,
+                                          embedding_dim=16, layer_sizes=(32, 8))
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    ds = SyntheticClickstream(100, 60, seed=5)
+    feat = Featurizer(mcfg)
+    batches = [jax.tree.map(jnp.asarray, feat(ds.sample(64, start=i))) for i in range(3)]
+
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": TABLE_WISE, "t_product_id": TABLE_WISE})
+    # int8 bucket is dtype-suffixed and distinct from any f32 bucket
+    assert set(plan.buckets) == {"__tw_bucket_d16_int8__"}
+    assert plan.buckets["__tw_bucket_d16_int8__"].dtype == "int8"
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_array_equal(
+            np.asarray(gathered.tables[name].values),
+            np.asarray(ref_state.tables[name].values),
+        )
+        np.testing.assert_allclose(
+            np.asarray(gathered.tables[name].scales),
+            np.asarray(ref_state.tables[name].scales), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            gathered.adagrad_acc[name], np.asarray(ref_state.adagrad_acc[name]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_mixed_dtype_table_wise_buckets_are_separate():
+    """f32 and int8 table-wise tables of the same dim land in DIFFERENT
+    buckets and still train."""
+    mcfg = cfg_lib.ModelConfig(
+        tables=(
+            cfg_lib.TableConfig("t_u", 80, 16, ("u",)),
+            cfg_lib.TableConfig("t_i", 50, 16, ("i",), dtype="int8"),
+        ),
+        features=(
+            cfg_lib.FeatureConfig("u", "t_u"),
+            cfg_lib.FeatureConfig("i", "t_i"),
+        ),
+        query_tower=cfg_lib.TowerConfig(("u",), (16, 8)),
+        candidate_tower=cfg_lib.TowerConfig(("i",), (16, 8)),
+    )
+    mcfg.validate()
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05)
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={"t_u": TABLE_WISE, "t_i": TABLE_WISE})
+    assert set(plan.buckets) == {"__tw_bucket_d16__", "__tw_bucket_d16_int8__"}
+
+    state, dense_opt = create_train_state(jax.random.key(1), mcfg, tcfg)
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    rng = np.random.default_rng(0)
+    feat = Featurizer(mcfg)
+    b = jax.tree.map(jnp.asarray, feat({
+        "u": rng.integers(1, 80, 64), "i": rng.integers(1, 50, 64),
+        "label": rng.integers(0, 2, 64)}))
+    sh_state, out = step(sh_state, _put_batch(b, mesh))
+    assert np.isfinite(float(out["loss"]))
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    assert gathered.tables["t_u"].shape == (80, 16)
+    assert gathered.tables["t_i"].values.shape == (50, 16)

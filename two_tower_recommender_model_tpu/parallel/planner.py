@@ -61,6 +61,13 @@ COLLECTIVE_OVERHEAD_EQ = 8 << 20
 IMBALANCE_WEIGHT = 0.25
 
 
+def _bucket_name(dim: int, dtype: str) -> str:
+    """Table-wise tables group into one physical bucket per (dim, dtype) —
+    dtypes can't share an array. The float32 name stays suffix-free for
+    plan-print stability."""
+    return f"__tw_bucket_d{dim}__" if dtype == "float32" else f"__tw_bucket_d{dim}_{dtype}__"
+
+
 @dataclasses.dataclass(frozen=True)
 class TableShard:
     table: str
@@ -81,14 +88,17 @@ class TableShard:
 
 @dataclasses.dataclass(frozen=True)
 class BucketSpec:
-    """One physical array holding all table-wise tables of one embedding dim:
-    shape [num_devices * rows_per_device, dim], row-sharded over the flattened
-    mesh; device d's shard contains its assigned tables at their offsets."""
+    """One physical array holding all table-wise tables of one (embedding dim,
+    dtype): shape [num_devices * rows_per_device, dim], row-sharded over the
+    flattened mesh; device d's shard contains its assigned tables at their
+    offsets. int8 buckets carry a parallel per-row scales array
+    (QuantizedTable layout)."""
 
     name: str
     embedding_dim: int
     rows_per_device: int
     tables: tuple[str, ...]
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,22 +236,24 @@ def plan_sharding(
     owners: dict[str, int] = {}
     offsets: dict[str, int] = {}
     buckets: dict[str, BucketSpec] = {}
-    by_dim: dict[int, list] = {}
+    by_key: dict[tuple[int, str], list] = {}  # (dim, dtype): one bucket each
     for t in sorted(tw_tables, key=lambda t: -table_bytes[t.name]):
-        by_dim.setdefault(t.embedding_dim, []).append(t)
-    for dim, group in by_dim.items():
+        by_key.setdefault(
+            (t.embedding_dim, model_cfg.table_dtype_of(t.name)), []
+        ).append(t)
+    for (dim, dtype), group in by_key.items():
         load = [0] * num_devices  # rows per device
         for t in group:
             dev = min(range(num_devices), key=lambda d: load[d])
             owners[t.name] = dev
             offsets[t.name] = load[dev]
             load[dev] += t.num_embeddings
-        name = f"__tw_bucket_d{dim}__"
+        name = _bucket_name(dim, dtype)
         # pad the per-device shard to an 8-row multiple (TPU-friendly tiles)
         rows = _round_up(max(load) if load else 0, 8)
         buckets[name] = BucketSpec(
             name=name, embedding_dim=dim, rows_per_device=max(rows, 8),
-            tables=tuple(t.name for t in group),
+            tables=tuple(t.name for t in group), dtype=dtype,
         )
 
     specs: dict[str, TableShard] = {}
@@ -264,7 +276,7 @@ def plan_sharding(
         elif strategy == TABLE_WISE:
             owner = owners[t.name]
             boff = offsets[t.name]
-            bucket = f"__tw_bucket_d{t.embedding_dim}__"
+            bucket = _bucket_name(t.embedding_dim, model_cfg.table_dtype_of(t.name))
             r = buckets[bucket].rows_per_device
             bytes_per_device = (r * t.embedding_dim + r) * bytes_per_param \
                 // max(len(buckets[bucket].tables), 1)

@@ -77,19 +77,38 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
     for bname, b in plan.buckets.items():
         r = b.rows_per_device
         member0 = state.tables[b.tables[0]]
-        if isinstance(member0, QuantizedTable):
-            raise NotImplementedError(
-                "int8 tables cannot shard table-wise yet; use row_sharded or replicated"
-            )
-        big = np.zeros((plan.num_devices * r, b.embedding_dim), member0.dtype)
+        quantized = isinstance(member0, QuantizedTable)
+        big = np.zeros(
+            (plan.num_devices * r, b.embedding_dim),
+            member0.values.dtype if quantized else member0.dtype,
+        )
+        big_scales = np.zeros((plan.num_devices * r,), np.float32) if quantized else None
         big_acc = np.zeros((plan.num_devices * r,), np.float32)
         for tname in b.tables:
             spec = plan[tname]
-            arr = np.asarray(state.tables[tname])
+            t = state.tables[tname]
             start = spec.owner * r + spec.bucket_offset
-            big[start : start + arr.shape[0]] = arr
-            big_acc[start : start + arr.shape[0]] = np.asarray(state.adagrad_acc[tname])
-        tables[bname] = jax.device_put(big, NamedSharding(mesh, P(FLAT_AXES, None)))
+            if quantized:
+                if not isinstance(t, QuantizedTable):
+                    raise ValueError(f"bucket {bname} mixes quantized and float tables")
+                n = t.values.shape[0]
+                big[start : start + n] = np.asarray(t.values)
+                big_scales[start : start + n] = np.asarray(t.scales)
+            else:
+                arr = np.asarray(t)
+                n = arr.shape[0]
+                big[start : start + n] = arr
+            big_acc[start : start + n] = np.asarray(state.adagrad_acc[tname])
+        if quantized:
+            tables[bname] = jax.device_put(
+                QuantizedTable(values=big, scales=big_scales),
+                QuantizedTable(
+                    values=NamedSharding(mesh, P(FLAT_AXES, None)),
+                    scales=NamedSharding(mesh, P(FLAT_AXES)),
+                ),
+            )
+        else:
+            tables[bname] = jax.device_put(big, NamedSharding(mesh, P(FLAT_AXES, None)))
         accs[bname] = jax.device_put(big_acc, NamedSharding(mesh, P(FLAT_AXES)))
     for name, spec in plan.specs.items():
         if spec.strategy == TABLE_WISE:
@@ -178,16 +197,32 @@ def unshard_train_state(state: TrainState, plan: ShardingPlan, model_cfg: ModelC
             out = out[:, : t.embedding_dim]
         return out
 
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
     # table-wise tables: slice each member back out of its gathered bucket
     tables, accs = {}, {}
-    bucket_host = {b: _to_host(state.tables[b]) for b in plan.buckets}
+    bucket_host = {
+        b: (
+            QuantizedTable(values=_to_host(arr.values), scales=_to_host(arr.scales))
+            if isinstance(arr := state.tables[b], QuantizedTable)
+            else _to_host(arr)
+        )
+        for b in plan.buckets
+    }
     bucket_acc_host = {b: _to_host(state.adagrad_acc[b]) for b in plan.buckets}
     for name, spec in plan.specs.items():
         if spec.strategy == TABLE_WISE:
             r = plan.buckets[spec.bucket].rows_per_device
             start = spec.owner * r + spec.bucket_offset
             n = spec.num_embeddings
-            tables[name] = bucket_host[spec.bucket][start : start + n]
+            bh = bucket_host[spec.bucket]
+            if isinstance(bh, QuantizedTable):
+                tables[name] = QuantizedTable(
+                    values=bh.values[start : start + n],
+                    scales=bh.scales[start : start + n],
+                )
+            else:
+                tables[name] = bh[start : start + n]
             accs[name] = bucket_acc_host[spec.bucket][start : start + n]
         else:
             tables[name] = unpad(name, state.tables[name])
@@ -554,7 +589,11 @@ def make_sharded_forward(
                 # translated ids are harmless.
                 r = plan.buckets[spec.bucket].rows_per_device
                 base = spec.owner * r + spec.bucket_offset
-                pooled[fc.name] = lookup(tables[spec.bucket], feat.ids + base, w)
+                bucket_arr = tables[spec.bucket]
+                bucket_lookup = (
+                    q_lookup if isinstance(bucket_arr, QuantizedTable) else lookup
+                )
+                pooled[fc.name] = bucket_lookup(bucket_arr, feat.ids + base, w)
                 continue
             table = tables[fc.table]
             if isinstance(table, QuantizedTable):
@@ -720,7 +759,12 @@ def make_sharded_train_step(
             from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
             if tname in plan.buckets:
-                upd = sharded_update  # bucket is a row-sharded array
+                # bucket is a row-sharded array (QuantizedTable for int8)
+                upd = (
+                    q_sharded_update
+                    if isinstance(state.tables[tname], QuantizedTable)
+                    else sharded_update
+                )
             else:
                 spec = plan[tname]
                 quantized = isinstance(state.tables[tname], QuantizedTable)
