@@ -85,11 +85,16 @@ def main(work: str | None = None) -> dict:
         mcfg,
         query_tower=dataclasses.replace(mcfg.query_tower, final_activation=False),
         candidate_tower=dataclasses.replace(mcfg.candidate_tower, final_activation=False))
+    # sorted fast path on by default (loss-invariant row sort, DESIGN §6c);
+    # FS_BLOCK_KERNEL=float32 additionally routes the user table through the
+    # block-sorted MXU kernels (§6e — one extra ~1-2 min Mosaic compile)
     tcfg = cfg.TrainConfig(epochs=8, batch_size=65_536, sparse_learning_rate=0.2,
-                           learning_rate=3e-3, limit_val_batches=8)
+                           learning_rate=3e-3, limit_val_batches=8,
+                           sorted_feature="user_id",
+                           block_sorted_kernel=os.environ.get("FS_BLOCK_KERNEL", "off"))
     feat = Featurizer(mcfg)
     train_ds = ShardedDataset(os.path.join(work, "train"))
-    pf = PrepackedFeaturizer.for_dataset(train_ds, mcfg)
+    pf = PrepackedFeaturizer.for_dataset(train_ds, mcfg, sort_feature="user_id")
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
     multi = make_multi_step(lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
