@@ -214,3 +214,38 @@ def test_block_sorted_requires_sorted_feature():
     _, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     with pytest.raises(ValueError, match="requires sorted_feature"):
         make_train_step(mcfg, tcfg, dense_opt)
+
+
+@pytest.mark.parametrize("kind", CASES)
+@pytest.mark.parametrize("n", [220, 16 * 11])
+def test_fused_adagrad_matches_two_kernel_path(kind, n):
+    """The single-kernel fused aggregation+epilogue must be BIT-identical to
+    the two-kernel path (same f32 summation order, exact bf16x3 acc
+    transposes) and match the scatter oracle to f32 tolerance."""
+    from two_tower_recommender_model_tpu.ops.block_sorted import (
+        block_sorted_rowwise_adagrad_fused,
+    )
+
+    rng = np.random.default_rng(hash(kind) % 2**31 + 2)
+    m = 3 * C
+    sids = _case(kind, rng, n, m)
+    grads = rng.normal(size=(m, D)).astype(np.float32)
+    table = rng.normal(size=(n, D)).astype(np.float32)
+    acc = np.abs(rng.normal(size=(n,))).astype(np.float32)
+
+    two_t, two_a = block_sorted_rowwise_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(sids), jnp.asarray(grads),
+        lr=0.05, eps=1e-10, r=R, c=C, interpret=True,
+    )
+    fus_t, fus_a = block_sorted_rowwise_adagrad_fused(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(sids), jnp.asarray(grads),
+        lr=0.05, eps=1e-10, r=R, c=C, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fus_t), np.asarray(two_t))
+    np.testing.assert_array_equal(np.asarray(fus_a), np.asarray(two_a))
+    exp_t, exp_a = dense_rowwise_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(sids), jnp.asarray(grads),
+        0.05, 1e-10, ids_sorted=True,
+    )
+    np.testing.assert_allclose(np.asarray(fus_a), np.asarray(exp_a), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fus_t), np.asarray(exp_t), rtol=1e-5, atol=1e-6)

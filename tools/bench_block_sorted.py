@@ -25,6 +25,7 @@ from jax import lax
 from two_tower_recommender_model_tpu.ops.block_sorted import (
     block_sorted_lookup,
     block_sorted_rowwise_adagrad,
+    block_sorted_rowwise_adagrad_fused,
 )
 from two_tower_recommender_model_tpu.train import optimizer as opt_lib
 
@@ -75,12 +76,23 @@ def make_op(kind: str, m: int, k: int, r: int, c: int):
         )
         return t.at[:, 0].set(a * 1e-3)
 
+    def kernel_update_fused(state, step, seed, *, mmdt):
+        ids = gen_ids_sorted(m, N, step, seed)
+        g = gen_grads(m, step)
+        acc = jnp.abs(state[:, 0]) + 1e-3
+        t, a = block_sorted_rowwise_adagrad_fused(
+            state, acc, ids, g, 0.01, 1e-10, r=r, c=c, matmul_dtype=mmdt
+        )
+        return t.at[:, 0].set(a * 1e-3)
+
     ops = {
         "xla_gather": xla_gather,
         "kernel_gather_f32": partial(kernel_gather, mmdt="float32"),
         "kernel_gather_bf16": partial(kernel_gather, mmdt="bfloat16"),
         "xla_update_sorted_hint": xla_update,
         "kernel_update_f32": partial(kernel_update, mmdt="float32"),
+        "kernel_update_fused_f32": partial(kernel_update_fused, mmdt="float32"),
+        "kernel_update_fused_bf16": partial(kernel_update_fused, mmdt="bfloat16"),
         "kernel_update_bf16": partial(kernel_update, mmdt="bfloat16"),
     }
     op = ops[kind]

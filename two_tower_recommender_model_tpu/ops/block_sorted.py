@@ -173,6 +173,68 @@ def _aggregate_kernel(
         out_ref[:] = scratch[:]
 
 
+def _identity_mask(r):
+    return jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (r, r), 1
+    )
+
+
+def _lane_to_sublane(v_1r):
+    """[1, r] -> [r, 1] without a Mosaic relayout: broadcast along sublanes,
+    mask to the diagonal, reduce over lanes. EXACT (one term per row)."""
+    r = v_1r.shape[1]
+    masked = jnp.where(_identity_mask(r), jnp.broadcast_to(v_1r, (r, r)), 0.0)
+    return jnp.sum(masked, axis=1, keepdims=True)
+
+
+def _sublane_to_lane(v_r1):
+    """[r, 1] -> [1, r]: the transpose of `_lane_to_sublane` (diagonal mask +
+    sublane reduction). EXACT."""
+    r = v_r1.shape[0]
+    masked = jnp.where(_identity_mask(r), jnp.broadcast_to(v_r1, (r, r)), 0.0)
+    return jnp.sum(masked, axis=0, keepdims=True)
+
+
+def _fused_update_kernel(
+    wi_block, wi_chunk, w_real, ids_ref, g_ref, tab_ref, acc_ref,
+    out_tab_ref, out_acc_ref, scratch, *, r, cdt, lr, eps
+):
+    """Aggregation + row-wise Adagrad epilogue in ONE kernel: the dense
+    aggregated gradient never round-trips HBM (it lives in the per-block
+    VMEM scratch), the table block streams exactly once (read for the
+    epilogue, written updated), and the [N]-shaped accumulator stays VMEM-
+    resident for the whole grid ([1, G*R] block, constant index)."""
+    w = pl.program_id(0)
+    blk = wi_block[w]
+    is_first = (w == 0) | (wi_block[jnp.maximum(w - 1, 0)] != blk)
+    last_w = pl.num_programs(0) - 1
+    is_last = (w == last_w) | (wi_block[jnp.minimum(w + 1, last_w)] != blk)
+
+    @pl.when(is_first)
+    def _():
+        scratch[:] = jnp.zeros_like(scratch)
+
+    @pl.when(w < w_real[0])
+    def _():
+        local = ids_ref[0, 0, :] - blk * r  # [C]
+        c = local.shape[0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0) == local[None, :]
+        scratch[:] += _oh_dot(oh, g_ref[:], cdt, ((1,), (0,)))
+
+    @pl.when(is_last)
+    def _():
+        g = scratch[:]  # [r, d] f32 aggregated gradient of this block
+        touched = jnp.any(g != 0.0, axis=1, keepdims=True)  # [r, 1]
+        g2 = jnp.mean(g * g, axis=1, keepdims=True)  # [r, 1]
+        acc_rows = acc_ref[0:1, pl.ds(blk * r, r)]  # [1, r] lane-oriented
+        acc_col = _lane_to_sublane(acc_rows)  # [r, 1]
+        new_acc = jnp.where(touched, acc_col + g2, acc_col)
+        denom = jnp.sqrt(new_acc) + eps
+        tab = tab_ref[:]
+        out_tab_ref[:] = jnp.where(touched, tab - lr * g / denom, tab)
+        out_acc_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(new_acc)
+
+
 def _check(n, d, m, r, c):
     if d % 128 or r % 8 or c % 128:
         raise ValueError(f"block_sorted needs d%128==0, r%8==0, c%128==0 (d={d}, r={r}, c={c})")
@@ -266,6 +328,75 @@ def block_sorted_aggregate(
             dimension_semantics=("arbitrary",)
         ),
     )(wi_block, wi_chunk, w_real, _ids3d(sids, c), grads.astype(jnp.float32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "eps", "r", "c", "matmul_dtype", "interpret")
+)
+def block_sorted_rowwise_adagrad_fused(
+    table: jax.Array,  # [N, D] float32
+    acc: jax.Array,  # [N] float32
+    flat_ids: jax.Array,  # [M] NON-DECREASING (sentinel >= N for dead slots)
+    flat_grads: jax.Array,  # [M, D]
+    lr: float,
+    eps: float = 1e-10,
+    *,
+    r: int = 512,
+    c: int = 512,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-kernel variant of `block_sorted_rowwise_adagrad`: the MXU
+    aggregation AND the masked row-wise Adagrad epilogue run in one Pallas
+    kernel, so the dense aggregated gradient never materializes in HBM and
+    the table streams exactly once (read+write). The accumulator is VMEM-
+    resident for the whole grid; its [1, r] lane slices convert to/from the
+    [r, 1] sublane orientation by exact identity-one-hot matmuls (bf16x3)
+    instead of Mosaic relayouts. Same numerics class as the two-kernel
+    path (f32 summation order)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, d = table.shape
+    m = flat_grads.shape[0]
+    c = min(c, m)
+    r = min(r, -(-n // 8) * 8)
+    _check(n, d, m, r, c)
+    g = -(-n // r)
+    nchunks = m // c
+    n_pad = g * r
+    wi_block, wi_chunk, w_real = plan_block_work(flat_ids, n, r, c)
+    cdt = jnp.dtype(matmul_dtype)
+
+    acc_pad = jnp.pad(acc.astype(jnp.float32), (0, n_pad - n))[None, :]  # [1, G*R]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks + 2 * g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
+            pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((r, d), jnp.float32)],
+    )
+    new_table, new_acc = pl.pallas_call(
+        functools.partial(_fused_update_kernel, r=r, cdt=cdt, lr=lr, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(wi_block, wi_chunk, w_real, _ids3d(flat_ids, c), flat_grads.astype(jnp.float32),
+      table, acc_pad)
+    return new_table.astype(table.dtype), new_acc[0, :n].astype(acc.dtype)
 
 
 def block_sorted_rowwise_adagrad(

@@ -419,10 +419,10 @@ def make_sorted_sharded_update(
         flat_g = g_all.reshape(-1, g_all.shape[-1])
         if bs_kernel != "off":
             from two_tower_recommender_model_tpu.ops.block_sorted import (
-                block_sorted_rowwise_adagrad,
+                block_sorted_rowwise_adagrad_fused,
             )
 
-            return block_sorted_rowwise_adagrad(
+            return block_sorted_rowwise_adagrad_fused(
                 table_shard, acc_shard, local, flat_g, lr, eps,
                 matmul_dtype=bs_kernel,
             )

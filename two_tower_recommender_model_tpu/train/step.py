@@ -237,11 +237,13 @@ def make_train_step(
                 import functools
 
                 from two_tower_recommender_model_tpu.ops.block_sorted import (
-                    block_sorted_rowwise_adagrad,
+                    block_sorted_rowwise_adagrad_fused,
                 )
 
+                # fused single-kernel variant: aggregation + Adagrad epilogue
+                # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k)
                 upd = functools.partial(
-                    block_sorted_rowwise_adagrad, matmul_dtype=bs_kernel
+                    block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
                 )
             elif tname == sorted_table and upd in (
                 opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
