@@ -105,9 +105,11 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str]:
-    """'float32+sorted+compact+blockkernel' ->
-    (dtype, sorted, bf16 buffer, compact wire, block_sorted_kernel mode)."""
+def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str, bool]:
+    """'float32+sorted+compact+delta+blockkernel' -> (dtype, sorted,
+    bf16 buffer, compact wire, block_sorted_kernel mode, delta wire).
+    '+delta' delta-encodes the sorted slot on the compact wire (implies
+    sorted+compact; 3.125 B/example flagship vs 4.375)."""
     parts = spec.split("+")
     if "blockkernel-bf16" in parts[1:]:
         bsk = "bfloat16"
@@ -115,8 +117,9 @@ def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str]:
         bsk = "float32"
     else:
         bsk = "off"
-    return (parts[0], "sorted" in parts[1:] or bsk != "off",
-            "bf16buf" in parts[1:], "compact" in parts[1:], bsk)
+    delta = "delta" in parts[1:]
+    return (parts[0], "sorted" in parts[1:] or bsk != "off" or delta,
+            "bf16buf" in parts[1:], "compact" in parts[1:] or delta, bsk, delta)
 
 
 def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
@@ -132,7 +135,9 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
     numerics, DESIGN §6c); `+bf16buf` additionally aggregates that table's
     transient gradient buffer in bf16 (reduced-precision duplicate
     accumulation, opt-in); `+compact` ships the bit-packed compact wire
-    format (4.375 B/example vs 8 — identical numerics, DESIGN §6d)."""
+    format (4.375 B/example vs 8 — identical numerics, DESIGN §6d);
+    `+delta` additionally delta-encodes the sorted slot (3.125 B/example
+    — identical numerics, implies sorted+compact)."""
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
@@ -154,7 +159,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
         stack_batches,
     )
 
-    table_dtype, sort, bf16buf, compact, bsk = parse_variant(variant)
+    table_dtype, sort, bf16buf, compact, bsk, delta = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
@@ -174,7 +179,9 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
     if compact:
-        scheme = CompactScheme.from_model(mcfg, pack_label=True)
+        scheme = CompactScheme.from_model(
+            mcfg, pack_label=True,
+            delta_feature="user_id" if delta else None)
         featurizer = CompactFeaturizer(featurizer, scheme)
         train_step = make_multi_step(
             lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme))
@@ -280,7 +287,7 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
         make_train_step,
     )
 
-    table_dtype, sort, bf16buf, _compact, bsk = parse_variant(variant)
+    table_dtype, sort, bf16buf, _compact, bsk, _delta = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
@@ -424,8 +431,9 @@ def main() -> None:
     disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
     dtypes = os.environ.get(
         "BENCH_TABLE_DTYPES",
-        "float32+sorted+compact+blockkernel,float32+sorted+compact,"
-        "float32+sorted,float32,bfloat16+sorted+compact,int8+sorted+compact",
+        "float32+sorted+compact+delta+blockkernel,float32+sorted+compact+delta,"
+        "float32+sorted+compact,float32+sorted,float32,"
+        "bfloat16+sorted+compact+delta,int8+sorted+compact+delta",
     ).split(",")
 
     h2d = measure_h2d_health()

@@ -223,3 +223,128 @@ def test_make_compact_train_step_wrapper(mcfg):
     step = make_compact_train_step(core, mcfg, scheme)
     state, out = step(state, jax.tree.map(jnp.asarray, cf(ds.sample(64))))
     assert np.isfinite(float(out["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# sorted-slot delta encoding
+
+
+def _delta_scheme(mc, pack_label=True):
+    return CompactScheme.from_model(mc, pack_label=pack_label,
+                                    delta_feature="user_id")
+
+
+@pytest.mark.parametrize("pack_label", [True, False])
+def test_delta_roundtrip_bit_identical(rng, pack_label):
+    """Delta-encoded sorted slot must decode to exactly unpack_batch's output
+    (hashed ids, missing mask, labels)."""
+    mc = flagship_cfg()
+    feat = PackedFeaturizer(mc, pack_label=pack_label, sort_feature="user_id")
+    scheme = _delta_scheme(mc, pack_label)
+    ds = SyntheticClickstream(206_209, 49_688, seed=4)
+    cols = ds.sample(2048)
+    cols["user_id"][:17] = 0  # missing user ids (sort last, encode as N+1)
+    pb = feat(cols)
+    cb = compact_from_packed(pb, scheme)
+    got = batch_from_compact(jax.tree.map(jnp.asarray, cb), mc, scheme)
+    exp = unpack_batch(jax.tree.map(jnp.asarray, pb), mc, pack_label=pack_label)
+    for name in exp.features:
+        np.testing.assert_array_equal(np.asarray(got.features[name].ids),
+                                      np.asarray(exp.features[name].ids))
+        np.testing.assert_array_equal(np.asarray(got.features[name].mask),
+                                      np.asarray(exp.features[name].mask))
+    np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(exp.labels))
+
+
+def test_delta_wire_bytes_drop():
+    mc = flagship_cfg()
+    plain = CompactScheme.from_model(mc, pack_label=True)
+    delta = _delta_scheme(mc)
+    assert plain.wire_bytes_per_example == 4.375
+    # 19-bit user slot (18 id + label) -> 8 delta bits + 1 label rem bit
+    assert delta.wire_bytes_per_example == 3.125
+    assert delta.delta_capacity == (206_209 + 1) // 256 + 2
+
+
+def test_delta_exceptions_exercised(rng):
+    """Sparse batches force deltas > 255: the exception sidecar must carry
+    them exactly."""
+    mc = flagship_cfg()
+    feat = PackedFeaturizer(mc, pack_label=True, sort_feature="user_id")
+    scheme = _delta_scheme(mc)
+    # 64 users spread over the full 206k range -> every delta > 255
+    cols = {
+        "user_id": (rng.integers(1, 206_209, 64) * 1).astype(np.int64),
+        "product_id": rng.integers(1, 49_688, 64).astype(np.int64),
+        "label": rng.integers(0, 2, 64).astype(np.int64),
+    }
+    pb = feat(cols)
+    cb = compact_from_packed(pb, scheme)
+    assert int((np.asarray(cb.delta_extra) > 0).sum()) > 30
+    got = batch_from_compact(jax.tree.map(jnp.asarray, cb), mc, scheme)
+    exp = unpack_batch(jax.tree.map(jnp.asarray, pb), mc, pack_label=True)
+    np.testing.assert_array_equal(np.asarray(got.features["user_id"].ids),
+                                  np.asarray(exp.features["user_id"].ids))
+    np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(exp.labels))
+
+
+def test_delta_rejects_unsorted_batch():
+    mc = flagship_cfg()
+    feat = PackedFeaturizer(mc, pack_label=True)  # NO sort
+    scheme = _delta_scheme(mc)
+    with pytest.raises(ValueError, match="sort"):
+        CompactFeaturizer(feat, scheme)
+    # direct encode of an unsorted PackedBatch also fails loudly
+    rng = np.random.default_rng(0)
+    cols = {
+        "user_id": rng.integers(1, 206_209, 64).astype(np.int64),
+        "product_id": rng.integers(1, 49_688, 64).astype(np.int64),
+        "label": rng.integers(0, 2, 64).astype(np.int64),
+    }
+    with pytest.raises(ValueError, match="not sorted"):
+        compact_from_packed(feat(cols), scheme)
+
+
+def test_delta_train_step_matches_packed():
+    """Training through the delta wire == training through PackedBatch."""
+    mc = flagship_cfg()
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3,
+                               sorted_feature="user_id")
+    feat = PackedFeaturizer(mc, pack_label=True, sort_feature="user_id")
+    scheme = _delta_scheme(mc)
+    cfeat = CompactFeaturizer(feat, scheme)
+    ds = SyntheticClickstream(206_209, 49_688, seed=6)
+
+    state, dense_opt = create_train_state(jax.random.key(0), mc, tcfg)
+    core = make_train_step(mc, tcfg, dense_opt, donate=False, jit=False)
+    step_p = jax.jit(lambda s, pb: core(s, unpack_batch(pb, mc, pack_label=True)))
+    step_c = make_compact_train_step(core, mc, scheme)
+
+    s_p = s_c = state
+    for i in range(3):
+        cols = ds.sample(1024, start=i)
+        pb = feat(cols)
+        s_p, out_p = step_p(s_p, jax.tree.map(jnp.asarray, pb))
+        s_c, out_c = step_c(s_c, jax.tree.map(jnp.asarray, compact_from_packed(pb, scheme)))
+    np.testing.assert_array_equal(np.asarray(out_p["loss"]), np.asarray(out_c["loss"]))
+    for name in s_p.tables:
+        np.testing.assert_array_equal(np.asarray(s_p.tables[name]),
+                                      np.asarray(s_c.tables[name]))
+
+
+def test_delta_macro_stacking(rng):
+    """stack_batches over CompactBatch with delta sidecars keeps per-batch
+    exception arrays aligned (leading K axis)."""
+    mc = flagship_cfg()
+    feat = PackedFeaturizer(mc, pack_label=True, sort_feature="user_id")
+    scheme = _delta_scheme(mc)
+    cfeat = CompactFeaturizer(feat, scheme)
+    ds = SyntheticClickstream(206_209, 49_688, seed=8)
+    cbs = [cfeat(ds.sample(512, start=i)) for i in range(3)]
+    mb = stack_batches(cbs)
+    assert mb.delta_pos.shape[0] == 3
+    one = jax.tree.map(lambda x: x[1], mb)
+    got = batch_from_compact(jax.tree.map(jnp.asarray, one), mc, scheme)
+    exp = batch_from_compact(jax.tree.map(jnp.asarray, cbs[1]), mc, scheme)
+    np.testing.assert_array_equal(np.asarray(got.features["user_id"].ids),
+                                  np.asarray(exp.features["user_id"].ids))

@@ -52,13 +52,16 @@ from two_tower_recommender_model_tpu.data.featurizer import Batch, SparseFeature
 class CompactBatch:
     """Wire-minimal batch. `wire` holds the whole-byte planes; `rem` holds the
     packed remainder bits (8 examples per byte column), absent when every
-    slot's width is a byte multiple."""
+    slot's width is a byte multiple. `delta_pos`/`delta_extra` carry the rare
+    oversized deltas of a delta-encoded sorted slot (see CompactScheme)."""
 
     wire: jax.Array  # [W8, B] uint8 whole-byte planes
     rem: jax.Array | None  # [R, B//8] uint8 remainder-bit planes (or None)
     labels: jax.Array  # [B] int32, or [0] when the label bit rides in the wire
     dense: jax.Array | None = None
     weights: jax.Array | None = None
+    delta_pos: jax.Array | None = None  # [K] int32 positions of deltas > 255
+    delta_extra: jax.Array | None = None  # [K] int32 (delta - 255) at those positions
 
     @property
     def batch_size(self) -> int:
@@ -78,6 +81,7 @@ class _SlotPlan:
     nbytes: int  # whole-byte planes
     rem_bits: int  # remainder bits in the shared `rem` planes
     rem_off: int  # bit offset of this slot's remainder within the R-bit group
+    delta: bool = False  # sorted-slot delta encoding (one uint8 plane)
 
 
 def _bits_for(n_values: int) -> int:
@@ -93,21 +97,55 @@ class CompactScheme:
     pack_label: bool
     whole_bytes: int  # W8
     rem_bits_total: int  # R (remainder bits per example; 0 = no rem buffer)
+    delta_feature: str | None = None  # host-sorted slot shipped as uint8 deltas
+    delta_capacity: int = 0  # K: static exception-array length
 
     @classmethod
     def from_model(cls, model_cfg: ModelConfig, pack_label: bool = True,
-                   bit_pack: bool = True) -> "CompactScheme":
+                   bit_pack: bool = True,
+                   delta_feature: str | None = None) -> "CompactScheme":
         """`bit_pack=False` rounds every slot up to whole bytes (no remainder
-        buffer) — for callers that can't guarantee B % 8 == 0."""
+        buffer) — for callers that can't guarantee B % 8 == 0.
+
+        `delta_feature` names a single-slot feature whose batches arrive
+        HOST-SORTED by its hashed id, missing last (the `sort_feature`
+        contract): that slot ships as one uint8 plane of consecutive-id
+        DELTAS plus a fixed [K]-exception sidecar for deltas > 255. Since the
+        deltas of a sorted sequence sum to <= N+1, at most (N+1)//256
+        exceptions can exist, so K is a static guarantee, not a heuristic.
+        The flagship 19-bit user slot drops to 9 bits (8 delta + 1 label)."""
         plans: list[_SlotPlan] = []
         byte_cursor = 0
         rem_cursor = 0
         slot_off = 0
+        delta_cap = 0
         for fc in model_cfg.features:
             n = model_cfg.feature_table(fc.name).num_embeddings
+            is_delta = delta_feature is not None and fc.name == delta_feature
+            if is_delta and fc.max_ids_per_sample != 1:
+                raise ValueError(
+                    f"delta_feature {delta_feature!r} must be single-slot"
+                )
             for sub in range(fc.max_ids_per_sample):
                 has_label = pack_label and slot_off == 0
                 bits_id = _bits_for(n + 1)  # enc values 0..N inclusive
+                if is_delta:
+                    # one uint8 delta plane; the label bit (if any) moves to
+                    # the remainder group as a standalone bit
+                    rem = (1 if has_label else 0) if bit_pack else 0
+                    nbytes = 1 if bit_pack or not has_label else 2
+                    delta_cap = (n + 1) // 256 + 2
+                    plans.append(_SlotPlan(
+                        feature=fc.name, sub=sub, slot_off=slot_off,
+                        num_embeddings=n, bits=8 + (1 if has_label else 0),
+                        bits_id=bits_id, has_label=has_label,
+                        byte_start=byte_cursor, nbytes=nbytes,
+                        rem_bits=rem, rem_off=rem_cursor, delta=True,
+                    ))
+                    byte_cursor += nbytes
+                    rem_cursor += rem
+                    slot_off += 1
+                    continue
                 bits = bits_id + (1 if has_label else 0)
                 if bits > 31:
                     raise ValueError(
@@ -125,18 +163,26 @@ class CompactScheme:
                 byte_cursor += nbytes
                 rem_cursor += rem
                 slot_off += 1
+        if delta_feature is not None and not any(sp.delta for sp in plans):
+            raise ValueError(f"delta_feature {delta_feature!r}: no such feature")
         if rem_cursor and 8 * rem_cursor > 32:
             # the per-8-example remainder group must fit an int32; fall back
-            return cls.from_model(model_cfg, pack_label, bit_pack=False)
+            return cls.from_model(model_cfg, pack_label, bit_pack=False,
+                                  delta_feature=delta_feature)
         return cls(
             slots=tuple(plans),
             pack_label=pack_label,
             whole_bytes=byte_cursor,
             rem_bits_total=rem_cursor,
+            delta_feature=delta_feature,
+            delta_capacity=delta_cap,
         )
 
     @property
     def wire_bytes_per_example(self) -> float:
+        """Asymptotic per-example wire bytes (the fixed [K]-exception sidecar
+        of a delta slot — 8*K bytes/batch — amortizes to ~0 at real batch
+        sizes and is excluded)."""
         return self.whole_bytes + self.rem_bits_total / 8.0
 
 
@@ -149,6 +195,7 @@ def compact_from_packed(pb: PackedBatch, scheme: CompactScheme) -> CompactBatch:
         raise ValueError(f"compact bit-packing needs batch size % 8 == 0, got {b}")
     wire = np.empty((scheme.whole_bytes, b), np.uint8)
     rem_group = np.zeros((b // 8,), np.int64) if scheme.rem_bits_total else None
+    delta_pos = delta_extra = None
     for sp in scheme.slots:
         raw = ids[:, sp.slot_off].astype(np.int64)
         label = None
@@ -157,6 +204,33 @@ def compact_from_packed(pb: PackedBatch, scheme: CompactScheme) -> CompactBatch:
             raw = raw & ((1 << 30) - 1)
         v = (raw % sp.num_embeddings) + 1
         v = np.where(raw == 0, 0, v)
+        if sp.delta:
+            n = sp.num_embeddings
+            k = np.where(v == 0, n + 1, v)  # missing sorts/encodes above all ids
+            d = np.diff(k, prepend=0)
+            if d.min() < 0:
+                raise ValueError(
+                    f"delta slot {sp.feature!r}: batch is not sorted by its "
+                    "hashed id (missing last) — featurize with "
+                    f"sort_feature={sp.feature!r}"
+                )
+            lo = np.minimum(d, 255)
+            exc = np.nonzero(d > 255)[0]
+            kcap = scheme.delta_capacity
+            assert len(exc) <= kcap, (len(exc), kcap)  # sum(d) <= N+1 bound
+            delta_pos = np.zeros(kcap, np.int32)
+            delta_extra = np.zeros(kcap, np.int32)
+            delta_pos[: len(exc)] = exc
+            delta_extra[: len(exc)] = (d[exc] - 255).astype(np.int32)
+            wire[sp.byte_start] = lo.astype(np.uint8)
+            if sp.has_label:
+                if sp.rem_bits:  # label bit rides the remainder group
+                    lanes = label.reshape(b // 8, 8)
+                    shifts = np.arange(8, dtype=np.int64) * scheme.rem_bits_total + sp.rem_off
+                    rem_group |= (lanes << shifts[None, :]).sum(axis=1, dtype=np.int64)
+                else:  # whole-byte fallback: label in its own plane
+                    wire[sp.byte_start + 1] = label.astype(np.uint8)
+            continue
         if label is not None:
             v = v | (label << sp.bits_id)
         for j in range(sp.nbytes):
@@ -172,7 +246,8 @@ def compact_from_packed(pb: PackedBatch, scheme: CompactScheme) -> CompactBatch:
         for j in range(scheme.rem_bits_total):
             rem[j] = (rem_group >> (8 * j)).astype(np.uint8)
     return CompactBatch(wire=wire, rem=rem, labels=np.asarray(pb.labels),
-                        dense=pb.dense, weights=pb.weights)
+                        dense=pb.dense, weights=pb.weights,
+                        delta_pos=delta_pos, delta_extra=delta_extra)
 
 
 def batch_from_compact(cb: CompactBatch, model_cfg: ModelConfig,
@@ -194,6 +269,22 @@ def batch_from_compact(cb: CompactBatch, model_cfg: ModelConfig,
     per_feature_ids: dict[str, list] = {}
     per_feature_mask: dict[str, list] = {}
     for sp in scheme.slots:
+        if sp.delta:
+            d = wire[sp.byte_start].astype(jnp.int32)
+            d = d.at[cb.delta_pos].add(cb.delta_extra, mode="drop")
+            k = jnp.cumsum(d)
+            n = sp.num_embeddings
+            v = jnp.where(k == n + 1, 0, k)
+            if sp.has_label:
+                if sp.rem_bits:
+                    labels = (rem_val >> (rem_lane * scheme.rem_bits_total + sp.rem_off)) & 1
+                else:
+                    labels = wire[sp.byte_start + 1].astype(jnp.int32) & 1
+            mask = v != 0
+            ids = jnp.maximum(v - 1, 0)
+            per_feature_ids.setdefault(sp.feature, []).append(ids)
+            per_feature_mask.setdefault(sp.feature, []).append(mask)
+            continue
         v = jnp.zeros((b,), jnp.int32)
         for j in range(sp.nbytes):
             v = v | (wire[sp.byte_start + j].astype(jnp.int32) << (8 * j))
@@ -237,6 +328,13 @@ class CompactFeaturizer:
                 f"CompactScheme.pack_label={scheme.pack_label} does not match "
                 f"the inner featurizer's pack_label={inner_pl}"
             )
+        if scheme.delta_feature is not None:
+            inner_sort = getattr(inner, "sort_feature", None)
+            if inner_sort != scheme.delta_feature:
+                raise ValueError(
+                    f"delta_feature {scheme.delta_feature!r} requires the inner "
+                    f"featurizer to sort by it (sort_feature={inner_sort!r})"
+                )
         self.inner = inner
         self.scheme = scheme
 
