@@ -389,15 +389,20 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
     )
-    tcfg = cfg_lib.TrainConfig(batch_size=batch_size)
+    # production-best single-chip config (scripts/train.py defaults with
+    # --sorted-feature): host row-sort in the prefetch workers -> hinted
+    # scatter + delta wire (identical numerics to the unsorted plain path)
+    tcfg = cfg_lib.TrainConfig(batch_size=batch_size, sorted_feature="user_id")
     ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=1)
     work = tempfile.mkdtemp(prefix="bench_disk_")
     pack_dataset(work, mcfg, ds.sample(rows), rows_per_shard=1 << 19)
     dataset = ShardedDataset(work)
 
-    scheme = CompactScheme.from_model(mcfg, pack_label=True)
+    scheme = CompactScheme.from_model(mcfg, pack_label=True,
+                                      delta_feature="user_id")
     featurizer = CompactFeaturizer(
-        PrepackedFeaturizer.for_dataset(dataset, mcfg), scheme)
+        PrepackedFeaturizer.for_dataset(dataset, mcfg, sort_feature="user_id"),
+        scheme)
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
     multi = make_multi_step(lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme)))
