@@ -118,10 +118,11 @@ def main():
         )
     if args.block_sorted_kernel != "off" and not args.sorted_feature:
         raise SystemExit("--block-sorted-kernel requires --sorted-feature")
-    if args.wire_format == "compact" and (
-        args.no_packed or (not args.no_shard and len(jax.devices()) > 1)
-    ):
-        raise SystemExit("--wire-format compact requires the packed single-device path")
+    if args.wire_format == "compact" and (args.no_packed or jax.process_count() > 1):
+        raise SystemExit(
+            "--wire-format compact requires the packed path in a single "
+            "process (single- or multi-device)"
+        )
     featurizer = Featurizer(mcfg)
     host_index, num_hosts = per_host_loader_slice()
     n_devices = len(jax.devices())
@@ -237,21 +238,51 @@ def main():
         pl = packed_feat.pack_label
         if sharded:
             from two_tower_recommender_model_tpu.parallel import (
-                macro_batch_sharding, make_sharded_multi_step,
+                compact_macro_shardings_for_scheme,
+                macro_batch_sharding,
+                make_sharded_compact_multi_step,
+                make_sharded_multi_step,
             )
             from two_tower_recommender_model_tpu.parallel.sharded import (
                 make_sharded_train_step as _msts,
             )
 
-            multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan,
-                                            pack_label=pl)
             core_sh = _msts(mcfg, tcfg, dense_opt, mesh, plan, donate=False, jit=False)
-            tail_step = _jax.jit(
-                lambda s, pb: core_sh(s, unpack_batch(pb, mcfg, pack_label=pl)),
-                donate_argnums=(0,),
-            )
-            macro_sh = macro_batch_sharding(mesh)
-            tail_sh = sharding  # per-batch data placement
+            wire = args.wire_format
+            if wire == "auto":
+                # compact needs batch % (8 * data-axis) == 0 (bit groups of 8
+                # examples, then the group axis shards over data)
+                wire = ("compact"
+                        if args.batch_size % (8 * n_devices) == 0
+                        and _jax.process_count() == 1 else "packed")
+            if wire == "compact":
+                from two_tower_recommender_model_tpu.data.compact import (
+                    CompactFeaturizer, CompactScheme, batch_from_compact,
+                )
+
+                scheme = CompactScheme.from_model(
+                    mcfg, pack_label=pl, delta_feature=args.sorted_feature)
+                dense_flag = bool(getattr(packed_feat, "dense", False))
+                packed_feat = CompactFeaturizer(packed_feat, scheme)
+                multi = make_sharded_compact_multi_step(
+                    mcfg, tcfg, dense_opt, mesh, plan, scheme)
+                tail_step = _jax.jit(
+                    lambda s, cb: core_sh(s, batch_from_compact(cb, mcfg, scheme)),
+                    donate_argnums=(0,),
+                )
+                macro_sh = compact_macro_shardings_for_scheme(
+                    mesh, scheme, dense=dense_flag)
+                tail_sh = compact_macro_shardings_for_scheme(
+                    mesh, scheme, dense=dense_flag, macro=False)
+            else:
+                multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan,
+                                                pack_label=pl)
+                tail_step = _jax.jit(
+                    lambda s, pb: core_sh(s, unpack_batch(pb, mcfg, pack_label=pl)),
+                    donate_argnums=(0,),
+                )
+                macro_sh = macro_batch_sharding(mesh)
+                tail_sh = sharding  # per-batch data placement
         else:
             core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
             wire = args.wire_format

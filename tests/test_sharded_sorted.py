@@ -164,3 +164,56 @@ def test_block_kernel_requires_row_sharded():
     _, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     with pytest.raises(ValueError, match="row_sharded"):
         make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+
+
+@pytest.mark.parametrize("delta", [False, True])
+def test_sharded_compact_multi_step_matches_single_device(delta):
+    """The sharded compact-wire macro path (GSPMD-partitioned in-jit decode,
+    incl. the delta slot's cross-shard cumsum) == single-device compact
+    training."""
+    import jax.numpy as jnp
+
+    from two_tower_recommender_model_tpu.data.compact import (
+        CompactFeaturizer, CompactScheme, batch_from_compact)
+    from two_tower_recommender_model_tpu.data.device_featurizer import PackedFeaturizer
+    from two_tower_recommender_model_tpu.parallel import (
+        compact_macro_shardings, make_sharded_compact_multi_step)
+    from two_tower_recommender_model_tpu.train.step import make_multi_step, stack_batches
+
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=500, num_items=200, embedding_dim=16, layer_sizes=(32, 8))
+    tcfg = cfg_lib.TrainConfig(
+        sparse_learning_rate=0.05, learning_rate=1e-3,
+        sorted_feature="user_id" if delta else None)
+    ds = SyntheticClickstream(500, 200, seed=3)
+    pf = PackedFeaturizer(mcfg, pack_label=True,
+                          sort_feature="user_id" if delta else None)
+    scheme = CompactScheme.from_model(
+        mcfg, pack_label=True, delta_feature="user_id" if delta else None)
+    cf = CompactFeaturizer(pf, scheme)
+    macro = stack_batches([cf(ds.sample(128, start=i)) for i in range(3)])
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+
+    from two_tower_recommender_model_tpu.train.step import make_train_step as _mts
+    core = _mts(mcfg, tcfg, dense_opt, donate=False, jit=False)
+    ref_multi = make_multi_step(
+        lambda s, cb: core(s, batch_from_compact(cb, mcfg, scheme)), donate=False)
+    ref_state, ref_out = ref_multi(state, jax.tree.map(jnp.asarray, macro))
+
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    sh_state = shard_train_state(state, plan, mesh)
+    multi = make_sharded_compact_multi_step(
+        mcfg, tcfg, dense_opt, mesh, plan, scheme, donate=False)
+    sh = compact_macro_shardings(mesh, macro)
+    mb = jax.tree.map(lambda x, s: jax.device_put(x, s), macro, sh)
+    sh_state, out = multi(sh_state, mb)
+
+    np.testing.assert_allclose(np.asarray(out["loss"]), np.asarray(ref_out["loss"]),
+                               rtol=1e-5)
+    # atol 5e-6: GSPMD partitions the decode + update reductions, so f32
+    # summation order differs slightly from the single-device program
+    _assert_states_close(ref_state, unshard_train_state(sh_state, plan, mcfg),
+                         atol=5e-6)

@@ -845,6 +845,96 @@ def macro_batch_sharding(mesh) -> Callable:
     return fn
 
 
+def make_sharded_compact_multi_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    dense_opt: optax.GradientTransformation,
+    mesh,
+    plan: ShardingPlan,
+    scheme,
+    donate: bool = True,
+):
+    """Multi-chip packed fast path over the COMPACT wire: K sharded train
+    steps per dispatch scanning stacked `CompactBatch`es. The in-jit decode
+    (`batch_from_compact`) is elementwise per example, so GSPMD partitions it
+    along the data-sharded batch axis for free; a delta-encoded sorted slot's
+    cumsum reconstruction spans the batch axis, which XLA partitions with a
+    small prefix collective. Place payloads with `compact_macro_shardings`.
+    Single-process only when the scheme has a delta slot (global sort)."""
+    from two_tower_recommender_model_tpu.data.compact import batch_from_compact
+
+    if scheme.delta_feature is not None and jax.process_count() > 1:
+        raise ValueError("delta wire requires a single process (global sort)")
+    core = make_sharded_train_step(
+        model_cfg, train_cfg, dense_opt, mesh, plan, donate=False, jit=False
+    )
+
+    def multi(state: TrainState, macro_cb):
+        def body(carry, cb):
+            new_state, out = core(carry, batch_from_compact(cb, model_cfg, scheme))
+            return new_state, out["loss"]
+
+        state, losses = jax.lax.scan(body, state, macro_cb)
+        return state, {"loss": losses}
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def compact_macro_shardings(mesh, macro_cb):
+    """CompactBatch-of-NamedShardings for a stacked macro CompactBatch
+    [K, ...]: wire/rem shard their LAST (batch / batch-group) axis over data;
+    labels/dense/weights shard the batch axis; delta sidecars replicate.
+    Requires the per-shard slice widths to divide evenly (batch % (8 * data)
+    == 0 when a rem buffer exists)."""
+    from two_tower_recommender_model_tpu.data.compact import CompactBatch
+
+    ndata = mesh.shape[DATA_AXIS]
+    if macro_cb.wire.shape[-1] % ndata:
+        raise ValueError(
+            f"batch {macro_cb.wire.shape[-1]} must divide by data axis {ndata}"
+        )
+    if macro_cb.rem is not None and macro_cb.rem.shape[-1] % ndata:
+        raise ValueError(
+            f"compact rem groups {macro_cb.rem.shape[-1]} must divide by the "
+            f"data axis {ndata} (need batch % {8 * ndata} == 0)"
+        )
+    d = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+    return CompactBatch(
+        wire=d(None, None, DATA_AXIS),
+        rem=None if macro_cb.rem is None else d(None, None, DATA_AXIS),
+        labels=d(None, DATA_AXIS) if macro_cb.labels.size else d(),
+        dense=None if macro_cb.dense is None else d(None, DATA_AXIS, None),
+        weights=None if macro_cb.weights is None else d(None, DATA_AXIS),
+        delta_pos=None if macro_cb.delta_pos is None else d(),
+        delta_extra=None if macro_cb.delta_extra is None else d(),
+    )
+
+
+def compact_macro_shardings_for_scheme(
+    mesh, scheme, labels_packed: bool | None = None,
+    dense: bool = False, weights: bool = False, macro: bool = True,
+):
+    """Like `compact_macro_shardings` but built from the static CompactScheme
+    (no example batch needed — e.g. before the first loader batch exists).
+    `macro=False` produces shardings for a SINGLE CompactBatch (tail steps)."""
+    from two_tower_recommender_model_tpu.data.compact import CompactBatch
+
+    if labels_packed is None:
+        labels_packed = scheme.pack_label
+    lead = (None,) if macro else ()
+    d = lambda *spec: NamedSharding(mesh, P(*lead, *spec))  # noqa: E731
+    rep = NamedSharding(mesh, P())
+    return CompactBatch(
+        wire=d(None, DATA_AXIS),
+        rem=d(None, DATA_AXIS) if scheme.rem_bits_total else None,
+        labels=rep if labels_packed else d(DATA_AXIS),
+        dense=d(DATA_AXIS, None) if dense else None,
+        weights=d(DATA_AXIS) if weights else None,
+        delta_pos=rep if scheme.delta_feature is not None else None,
+        delta_extra=rep if scheme.delta_feature is not None else None,
+    )
+
+
 def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh, plan: ShardingPlan):
     loss_fn = losses_lib.make_loss_fn("bce")
     forward, _ = make_sharded_forward(model_cfg, mesh, plan)

@@ -21,17 +21,28 @@ from two_tower_recommender_model_tpu.data.featurizer import Batch
 
 
 def device_put_batch(batch: Batch, sharding=None) -> Batch:
+    """`sharding` is either a callable (leaf -> NamedSharding) or a pytree of
+    NamedShardings matching `batch` (e.g. `compact_macro_shardings`, whose
+    wire leaves shard a NON-leading axis that a per-leaf callable can't
+    distinguish)."""
     if sharding is None:
         return jax.tree.map(jax.device_put, batch)
+    get = sharding if callable(sharding) else None
     if jax.process_count() > 1:
         # multi-host: this process holds only its LOCAL slice of the global
         # batch; device_put with a cross-process sharding would treat the
         # local array as the whole global value (silently dropping the other
         # hosts' data) — assemble through process-local data instead
+        if get is not None:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(get(x), x), batch
+            )
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sharding(x), x), batch
+            lambda x, s: jax.make_array_from_process_local_data(s, x), batch, sharding
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding(x)), batch)
+    if get is not None:
+        return jax.tree.map(lambda x: jax.device_put(x, get(x)), batch)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), batch, sharding)
 
 
 def prefetch_to_device(
