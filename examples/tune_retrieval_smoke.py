@@ -1,0 +1,120 @@
+"""TPE-tune the in-batch sampled-softmax objective ON THE RETRIEVAL METRIC.
+
+The reference tunes `val_loss` (`ray_tune_optuna_tuning_alex_test.py:636-669`)
+— a proxy. Retrieval quality is what ships, so this sweep optimizes
+recall@100 at the exact eval protocol (k=100, exact top-k) directly, over the
+smoke-scale schema-faithful Instacart replica (8k users / 4k products) the
+pipeline harness uses. ~10 trials x ~1 min on one chip.
+
+    python examples/tune_retrieval_smoke.py [workdir]
+
+Prints the ranked trial table and the best config; the winning temperature /
+lr ranges transfer to the full-scale run (`scripts/instacart_pipeline.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scripts")
+
+
+def prepare_smoke(work: str) -> tuple[str, dict]:
+    """fetch replica + prepare shards once (idempotent by existence)."""
+    csv_dir = os.path.join(work, "csv")
+    shards = os.path.join(work, "shards")
+    if not os.path.exists(os.path.join(shards, "meta.json")):
+        subprocess.run([sys.executable, os.path.join(SCRIPTS, "fetch_instacart.py"),
+                        "--out", csv_dir, "--replica", "--replica-users", "8000",
+                        "--replica-products", "4000", "--seed", "0"], check=True)
+        subprocess.run([sys.executable, os.path.join(SCRIPTS, "prepare_instacart.py"),
+                        "--csv-dir", csv_dir, "--out", shards, "--seed", "0"],
+                       check=True)
+    with open(os.path.join(shards, "meta.json")) as f:
+        return shards, json.load(f)
+
+
+def test_positives(shards: str) -> dict[int, list]:
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+
+    user_positives: dict[int, list] = {}
+    loader = StreamLoader(os.path.join(shards, "test"), 1 << 16, shuffle=False,
+                          drop_last=False, columns=["user_id", "product_id", "label"])
+    for cols in loader:
+        m = np.asarray(cols["label"]) == 1
+        for u, p in zip(np.asarray(cols["user_id"])[m],
+                        np.asarray(cols["product_id"])[m]):
+            user_positives.setdefault(int(u), []).append(int(p))
+    return user_positives
+
+
+def main(work: str | None = None):
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedFeaturizer, unpack_batch)
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+    from two_tower_recommender_model_tpu.evaluation.retrieval import evaluate_retrieval
+    from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state, make_multi_step, make_train_step)
+    from two_tower_recommender_model_tpu.tuning.adaptive import run_adaptive_sweep
+    from two_tower_recommender_model_tpu.tuning.sweep import LogUniform
+
+    work = work or "/tmp/tune_retrieval_smoke"
+    shards, meta = prepare_smoke(work)
+    positives = test_positives(shards)
+    print(f"smoke data ready: {meta}; {len(positives)} test users", flush=True)
+
+    mcfg = cfg.two_tower_model_config(
+        num_users=meta["num_users"], num_items=meta["num_items"],
+        embedding_dim=128, layer_sizes=(128, 64))
+
+    def trial(config):
+        t0 = time.perf_counter()
+        tcfg = cfg.TrainConfig(
+            epochs=3, batch_size=8192, loss="sampled_softmax",
+            softmax_temperature=float(config["temperature"]),
+            sparse_learning_rate=float(config["sparse_lr"]),
+            learning_rate=float(config["lr"]),
+            logq_correction=bool(config.get("logq", True)),
+        )
+        feat = PackedFeaturizer(mcfg, pack_label=True)
+        state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+        core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+        multi = make_multi_step(
+            lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
+        for epoch in range(tcfg.epochs):
+            loader = StreamLoader(os.path.join(shards, "train"), tcfg.batch_size,
+                                  seed=1)
+            loader.set_epoch(epoch)
+            state, stats = train_one_epoch_packed(state, multi, loader, feat, macro=8)
+        params = {"tables": state.tables, **state.dense_params}
+        m = evaluate_retrieval(params, mcfg, positives, k=100, max_users=10_000,
+                               ks=(100,))
+        return {"recall_at_100": float(m["recall_at_100"]),
+                "train_loss": stats["train_loss"],
+                "trial_time_s": round(time.perf_counter() - t0, 1)}
+
+    space = {
+        "temperature": LogUniform(0.05, 3.0),
+        "sparse_lr": LogUniform(0.02, 0.5),
+        "lr": LogUniform(3e-4, 1e-2),
+    }
+    res = run_adaptive_sweep(trial, space, num_trials=int(os.environ.get("TRIALS", 10)),
+                             metric="recall_at_100", mode="max", seed=0, n_startup=4)
+    print(res.table(), flush=True)
+    best = res.best()
+    print(f"BEST recall@100 = {best.metrics['recall_at_100']:.4f} @ {best.config}")
+    return res
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -55,6 +55,12 @@ def main():
                     default="bce")
     ap.add_argument("--sparse-learning-rate", type=float, default=0.1)
     ap.add_argument("--learning-rate", type=float, default=1e-3)
+    ap.add_argument("--softmax-temperature", type=float, default=1.0,
+                    help="sampled_softmax logit temperature (tuned on the "
+                         "smoke replica by examples/tune_retrieval_smoke.py)")
+    ap.add_argument("--sorted-feature", default=None,
+                    help="pass through to train.py (hinted-scatter + delta "
+                         "wire fast paths)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -89,10 +95,11 @@ def main():
         "--loss", args.loss,
         "--sparse-learning-rate", str(args.sparse_learning_rate),
         "--learning-rate", str(args.learning_rate),
+        "--softmax-temperature", str(args.softmax_temperature),
         "--seed", str(args.seed),
         "--runs-root", os.path.join(args.work, "runs"),
         "--export-dir", model_dir,
-    ])
+    ] + (["--sorted-feature", args.sorted_feature] if args.sorted_feature else []))
 
     run([
         py, os.path.join(SCRIPTS, "evaluate_retrieval.py"),
