@@ -20,8 +20,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 SCRIPTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scripts")
 
 
@@ -40,18 +38,6 @@ def prepare_smoke(work: str) -> tuple[str, dict]:
         return shards, json.load(f)
 
 
-def test_positives(shards: str) -> dict[int, list]:
-    from two_tower_recommender_model_tpu.data.loader import StreamLoader
-
-    user_positives: dict[int, list] = {}
-    loader = StreamLoader(os.path.join(shards, "test"), 1 << 16, shuffle=False,
-                          drop_last=False, columns=["user_id", "product_id", "label"])
-    for cols in loader:
-        m = np.asarray(cols["label"]) == 1
-        for u, p in zip(np.asarray(cols["user_id"])[m],
-                        np.asarray(cols["product_id"])[m]):
-            user_positives.setdefault(int(u), []).append(int(p))
-    return user_positives
 
 
 def main(work: str | None = None):
@@ -59,18 +45,19 @@ def main(work: str | None = None):
 
     from two_tower_recommender_model_tpu import config as cfg
     from two_tower_recommender_model_tpu.data.device_featurizer import (
-        PackedFeaturizer, unpack_batch)
+        PackedFeaturizer, make_packed_train_step, unpack_batch)
     from two_tower_recommender_model_tpu.data.loader import StreamLoader
-    from two_tower_recommender_model_tpu.evaluation.retrieval import evaluate_retrieval
+    from two_tower_recommender_model_tpu.evaluation.retrieval import (
+        evaluate_retrieval, split_positives)
     from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
     from two_tower_recommender_model_tpu.train.step import (
         create_train_state, make_multi_step, make_train_step)
     from two_tower_recommender_model_tpu.tuning.adaptive import run_adaptive_sweep
-    from two_tower_recommender_model_tpu.tuning.sweep import LogUniform
+    from two_tower_recommender_model_tpu.tuning.sweep import Choice, LogUniform
 
     work = work or "/tmp/tune_retrieval_smoke"
     shards, meta = prepare_smoke(work)
-    positives = test_positives(shards)
+    positives = split_positives(os.path.join(shards, "test"))
     print(f"smoke data ready: {meta}; {len(positives)} test users", flush=True)
 
     mcfg = cfg.two_tower_model_config(
@@ -84,18 +71,20 @@ def main(work: str | None = None):
             softmax_temperature=float(config["temperature"]),
             sparse_learning_rate=float(config["sparse_lr"]),
             learning_rate=float(config["lr"]),
-            logq_correction=bool(config.get("logq", True)),
+            logq_correction=bool(config["logq"]),
         )
         feat = PackedFeaturizer(mcfg, pack_label=True)
         state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
         core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
         multi = make_multi_step(
             lambda s, pb: core(s, unpack_batch(pb, mcfg, pack_label=True)))
+        tail_step = make_packed_train_step(core, mcfg, pack_label=True)
         for epoch in range(tcfg.epochs):
             loader = StreamLoader(os.path.join(shards, "train"), tcfg.batch_size,
                                   seed=1)
             loader.set_epoch(epoch)
-            state, stats = train_one_epoch_packed(state, multi, loader, feat, macro=8)
+            state, stats = train_one_epoch_packed(state, multi, loader, feat,
+                                                  macro=8, tail_step=tail_step)
         params = {"tables": state.tables, **state.dense_params}
         m = evaluate_retrieval(params, mcfg, positives, k=100, max_users=10_000,
                                ks=(100,))
@@ -107,6 +96,7 @@ def main(work: str | None = None):
         "temperature": LogUniform(0.05, 3.0),
         "sparse_lr": LogUniform(0.02, 0.5),
         "lr": LogUniform(3e-4, 1e-2),
+        "logq": Choice((True, False)),
     }
     res = run_adaptive_sweep(trial, space, num_trials=int(os.environ.get("TRIALS", 10)),
                              metric="recall_at_100", mode="max", seed=0, n_startup=4)

@@ -34,39 +34,16 @@ def main():
 
     import numpy as np
 
-    from two_tower_recommender_model_tpu.data.loader import StreamLoader
-    from two_tower_recommender_model_tpu.evaluation.retrieval import evaluate_retrieval
+    from two_tower_recommender_model_tpu.evaluation.retrieval import (
+        evaluate_retrieval,
+        split_positives,
+    )
     from two_tower_recommender_model_tpu.utils.checkpoint import load_model
 
     model_cfg, params = load_model(args.model_dir)
 
     # test-split POSITIVES grouped per user (`04_evaluate_retrieval.py:42-58`)
-    from two_tower_recommender_model_tpu.data.shards import ShardedDataset
-
-    dataset = ShardedDataset(os.path.join(args.data_dir, args.split))
-    packed_meta = dataset.index.get("packed")
-    columns = None if packed_meta else ["user_id", "product_id", "label"]
-    user_positives: dict[int, list] = {}
-    loader = StreamLoader(dataset, 1 << 16, shuffle=False, drop_last=False,
-                          columns=columns)
-    for cols in loader:
-        if packed_meta:
-            # pre-packed split: slot 0 = user id (+ label in bit 30 when
-            # pack_label), slot 1 = product id
-            ids = np.asarray(cols["packed_ids"])
-            if packed_meta["pack_label"]:
-                labels = (ids[:, 0] >> 30) & 1
-                us = ids[:, 0] & ((1 << 30) - 1)
-            else:
-                labels = np.asarray(cols["labels"])
-                us = ids[:, 0]
-            ps = ids[:, 1]
-        else:
-            labels = np.asarray(cols["label"])
-            us, ps = np.asarray(cols["user_id"]), np.asarray(cols["product_id"])
-        m = labels == 1
-        for u, p in zip(us[m], ps[m]):
-            user_positives.setdefault(int(u), []).append(int(p))
+    user_positives = split_positives(os.path.join(args.data_dir, args.split))
     print(f"{args.split} positives: {sum(map(len, user_positives.values()))} "
           f"over {len(user_positives)} users; evaluating "
           f"{min(len(user_positives), args.max_users)} users at k={args.k}")

@@ -271,9 +271,10 @@ def main():
                     donate_argnums=(0,),
                 )
                 macro_sh = compact_macro_shardings_for_scheme(
-                    mesh, scheme, dense=dense_flag)
+                    mesh, scheme, dense=dense_flag, batch_size=args.batch_size)
                 tail_sh = compact_macro_shardings_for_scheme(
-                    mesh, scheme, dense=dense_flag, macro=False)
+                    mesh, scheme, dense=dense_flag, macro=False,
+                    batch_size=args.batch_size)
             else:
                 multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan,
                                                 pack_label=pl)

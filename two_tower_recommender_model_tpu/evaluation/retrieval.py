@@ -156,6 +156,46 @@ def retrieval_metrics(
     return {name: float(np.mean(vals)) for name, vals in out.items()}
 
 
+def split_positives(
+    split_path: str,
+    user_col: str = "user_id",
+    item_col: str = "product_id",
+    label_col: str = "label",
+) -> dict[int, list]:
+    """Held-out positives grouped per user from a TTRS split directory — the
+    eval-set builder of `04_evaluate_retrieval.py:42-58`. Handles both raw-
+    column and pre-packed splits (the shared protocol of the CLI evaluator
+    and the tuning sweeps; keep ONE implementation so they cannot drift)."""
+    from two_tower_recommender_model_tpu.data.loader import StreamLoader
+    from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+
+    dataset = ShardedDataset(split_path)
+    packed_meta = dataset.index.get("packed")
+    columns = None if packed_meta else [user_col, item_col, label_col]
+    user_positives: dict[int, list] = {}
+    loader = StreamLoader(dataset, 1 << 16, shuffle=False, drop_last=False,
+                          columns=columns)
+    for cols in loader:
+        if packed_meta:
+            # pre-packed split: slot 0 = user id (+ label in bit 30 when
+            # pack_label), slot 1 = item id
+            ids = np.asarray(cols["packed_ids"])
+            if packed_meta["pack_label"]:
+                labels = (ids[:, 0] >> 30) & 1
+                us = ids[:, 0] & ((1 << 30) - 1)
+            else:
+                labels = np.asarray(cols["labels"])
+                us = ids[:, 0]
+            ps = ids[:, 1]
+        else:
+            labels = np.asarray(cols[label_col])
+            us, ps = np.asarray(cols[user_col]), np.asarray(cols[item_col])
+        m = labels == 1
+        for u, p in zip(us[m], ps[m]):
+            user_positives.setdefault(int(u), []).append(int(p))
+    return user_positives
+
+
 def evaluate_retrieval(
     params: dict,
     model_cfg: ModelConfig,

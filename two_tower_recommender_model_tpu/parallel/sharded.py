@@ -913,12 +913,24 @@ def compact_macro_shardings(mesh, macro_cb):
 def compact_macro_shardings_for_scheme(
     mesh, scheme, labels_packed: bool | None = None,
     dense: bool = False, weights: bool = False, macro: bool = True,
+    batch_size: int | None = None,
 ):
     """Like `compact_macro_shardings` but built from the static CompactScheme
     (no example batch needed — e.g. before the first loader batch exists).
-    `macro=False` produces shardings for a SINGLE CompactBatch (tail steps)."""
+    `macro=False` produces shardings for a SINGLE CompactBatch (tail steps).
+    Pass `batch_size` to fail loudly on divisibility up front (the same
+    checks `compact_macro_shardings` runs against an example batch)."""
     from two_tower_recommender_model_tpu.data.compact import CompactBatch
 
+    if batch_size is not None:
+        ndata = mesh.shape[DATA_AXIS]
+        if batch_size % ndata:
+            raise ValueError(f"batch {batch_size} must divide by data axis {ndata}")
+        if scheme.rem_bits_total and (batch_size // 8) % ndata:
+            raise ValueError(
+                f"compact rem groups {batch_size // 8} must divide by the "
+                f"data axis {ndata} (need batch % {8 * ndata} == 0)"
+            )
     if labels_packed is None:
         labels_packed = scheme.pack_label
     lead = (None,) if macro else ()
