@@ -125,3 +125,20 @@ def test_adaptive_sweep_parallel_driver():
     assert res.best().metrics["val_loss"] <= min(
         t.metrics["val_loss"] for t in res.completed()
     )
+
+
+def test_tpe_never_resuggests_observed_config():
+    """Clipped boundary anchors used to converge to an exact duplicate and
+    burn the remaining trial budget re-evaluating one config."""
+    from two_tower_recommender_model_tpu.tuning.adaptive import TPESampler
+    from two_tower_recommender_model_tpu.tuning.sweep import LogUniform
+
+    space = {"x": LogUniform(0.1, 1.0)}
+    s = TPESampler(space, seed=0, n_startup=2)
+    seen = []
+    for i in range(12):
+        cfg = s.suggest()
+        assert cfg not in seen, f"duplicate suggestion at trial {i}: {cfg}"
+        seen.append(dict(cfg))
+        # objective pulls hard toward the x=0.1 boundary (the clip corner)
+        s.observe(cfg, cfg["x"])

@@ -73,6 +73,7 @@ class TPESampler:
     def suggest(self) -> dict:
         if len(self._obs) < self.n_startup:
             return sample_space(self.space, self.rng)
+        seen = {tuple(sorted(c.items())) for c, _ in self._obs}
         good, bad = self._split()
         best_cfg, best_score = None, -np.inf
         for _ in range(self.n_candidates):
@@ -118,7 +119,14 @@ class TPESampler:
                     cfg[k] = v
                     score += np.log(kde(v, gv) / kde(v, bv))
             if score > best_score:
+                # never re-suggest an already-evaluated config (clipped
+                # anchors at the space boundary otherwise converge to an
+                # exact duplicate and burn the remaining trial budget on it)
+                if tuple(sorted(cfg.items())) in seen:
+                    continue
                 best_cfg, best_score = cfg, score
+        if best_cfg is None:  # every candidate was a duplicate: explore
+            return sample_space(self.space, self.rng)
         return best_cfg
 
 
