@@ -209,10 +209,8 @@ def make_train_step(
 
         from two_tower_recommender_model_tpu.ops.quantized import (
             QuantizedTable,
-            quantized_rowwise_adagrad,
+            pick_quantized_update,
         )
-
-        from two_tower_recommender_model_tpu.ops.quantized import pick_quantized_update
 
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
