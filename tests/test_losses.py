@@ -81,3 +81,68 @@ def test_sampled_softmax_accidental_hit_masking(rng):
     loss_plain = in_batch_sampled_softmax(q, c, labels)
     # with duplicates masked the softmax has fewer negatives -> lower-or-equal loss
     assert float(loss_masked) <= float(loss_plain) + 1e-6
+
+
+def test_chunked_sampled_softmax_matches_dense():
+    """The blockwise (flash-style) in-batch softmax must match the dense path
+    exactly in value AND gradients — same per-row logsumexp, only the final
+    reduction order differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from two_tower_recommender_model_tpu.models.losses import (
+        _chunked_sampled_softmax,
+        in_batch_sampled_softmax,
+    )
+
+    rng = np.random.default_rng(0)
+    b, d = 512, 16
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, b).astype(np.int32))
+    item_ids = jnp.asarray(rng.integers(0, 40, b).astype(np.int32))  # many dups
+    log_q = jnp.asarray(rng.normal(size=b).astype(np.float32) * 0.1)
+
+    def dense(q, c):
+        return in_batch_sampled_softmax(q, c, labels, item_ids, log_q,
+                                        temperature=0.7)
+
+    def chunked(q, c):
+        return _chunked_sampled_softmax(q, c, labels, item_ids, log_q, 0.7, r=64)
+
+    lv_d, g_d = jax.value_and_grad(lambda a: dense(a, c))(q)
+    lv_c, g_c = jax.value_and_grad(lambda a: chunked(a, c))(q)
+    np.testing.assert_allclose(float(lv_c), float(lv_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d), rtol=1e-5, atol=1e-7)
+    # candidate-side grads too (flow through every block's columns)
+    _, gc_d = jax.value_and_grad(lambda a: dense(q, a))(c)
+    _, gc_c = jax.value_and_grad(lambda a: chunked(q, a))(c)
+    np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gc_d), rtol=1e-5, atol=1e-7)
+
+
+def test_chunked_sampled_softmax_no_ids_no_logq():
+    import jax
+    import jax.numpy as jnp
+
+    from two_tower_recommender_model_tpu.models.losses import (
+        _chunked_sampled_softmax,
+        in_batch_sampled_softmax,
+    )
+
+    rng = np.random.default_rng(1)
+    b, d = 256, 8
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    labels = jnp.ones(b, jnp.int32)
+    dense_v = in_batch_sampled_softmax(q, c, labels)
+    chunk_v = _chunked_sampled_softmax(q, c, labels, None, None, 1.0, r=32)
+    np.testing.assert_allclose(float(chunk_v), float(dense_v), rtol=1e-6)
+
+
+def test_auto_row_chunk_policy():
+    from two_tower_recommender_model_tpu.models.losses import _auto_row_chunk
+
+    assert _auto_row_chunk(1024) is None           # small: dense
+    assert _auto_row_chunk(8192) == 2048           # 16.7M-element blocks
+    assert _auto_row_chunk(262144) == 64
+    assert _auto_row_chunk(5000) == 8              # non-power-of-2: small divisor

@@ -58,8 +58,13 @@ def in_batch_sampled_softmax(
     popular-item bias. Columns with the same item id as the row's positive are
     masked out (accidental hits).
     """
+    b = query_emb.shape[0]
+    chunk = _auto_row_chunk(b)
+    if chunk is not None:
+        return _chunked_sampled_softmax(
+            query_emb, cand_emb, labels, item_ids, log_q, temperature, chunk
+        )
     scores = jnp.dot(query_emb, cand_emb.T, preferred_element_type=jnp.float32) / temperature
-    b = scores.shape[0]
     if log_q is not None:
         scores = scores - log_q[None, :].astype(scores.dtype)
     eye = jnp.eye(b, dtype=bool)
@@ -71,6 +76,66 @@ def in_batch_sampled_softmax(
     per_row = -jnp.diagonal(logprobs)
     w = labels.astype(per_row.dtype)
     return (per_row * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def _auto_row_chunk(b: int, target_block: int = 1 << 24) -> int | None:
+    """Row-chunk size for the blockwise softmax: keep each [R, B] score block
+    near `target_block` f32 elements (~64MB). None = the dense path (small
+    batches, or no power-of-2 divisor)."""
+    if b <= 4096:
+        return None
+    r = max(8, target_block // b)
+    r = 1 << (r.bit_length() - 1)  # floor to a power of 2
+    while r > 1 and b % r:
+        r >>= 1
+    return r if 1 < r < b and b % r == 0 else None
+
+
+def _chunked_sampled_softmax(q, c, labels, item_ids, log_q, temperature, r):
+    """Blockwise in-batch softmax: scan over [R, B] row blocks of the score
+    matrix with per-block rematerialization, so the O(B^2) scores never
+    materialize (1 GB at bs=16k; 275 GB — impossible — at the bs=262k
+    flagship batch). Each row's logsumexp is computed whole within its block,
+    so the math is IDENTICAL to the dense path (only the final sum over
+    blocks reorders f32 additions)."""
+    b, d = q.shape
+    nch = b // r
+    ct = c.T.astype(q.dtype)  # [D, B], shared by every block
+    adj = None if log_q is None else log_q.astype(jnp.float32)
+    cols = jnp.arange(b, dtype=jnp.int32)
+
+    def block_loss(qc, lab_c, ids_c, base):
+        scores = jnp.dot(qc, ct, preferred_element_type=jnp.float32) / temperature
+        if adj is not None:
+            scores = scores - adj[None, :]
+        rows = base + jnp.arange(r, dtype=jnp.int32)
+        eye = rows[:, None] == cols[None, :]
+        if item_ids is not None:
+            dup = item_ids[None, :] == ids_c[:, None]
+            scores = jnp.where(dup & ~eye, -1e9, scores)
+        lse = jax.nn.logsumexp(scores, axis=1)
+        pos = jnp.sum(jnp.where(eye, scores, 0.0), axis=1)  # s_ii
+        w = lab_c.astype(jnp.float32)
+        return ((lse - pos) * w).sum(), w.sum()
+
+    block_loss = jax.checkpoint(block_loss)  # bwd recomputes each block
+
+    ids_chunks = (
+        jnp.zeros((nch, r), jnp.int32) if item_ids is None
+        else item_ids.reshape(nch, r)
+    )
+
+    def body(carry, xs):
+        tot, cnt = carry
+        s, n = block_loss(*xs)
+        return (tot + s, cnt + n), None
+
+    (tot, cnt), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.float32(0.0)),
+        (q.reshape(nch, r, d), labels.reshape(nch, r), ids_chunks,
+         jnp.arange(nch, dtype=jnp.int32) * r),
+    )
+    return tot / jnp.maximum(cnt, 1.0)
 
 
 def item_log_q_from_counts(counts: jax.Array, item_ids: jax.Array) -> jax.Array:
