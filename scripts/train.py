@@ -49,10 +49,13 @@ def parse_args():
     ap.add_argument("--macro-batches", type=int, default=16,
                     help="steps per dispatch on the packed fast path")
     ap.add_argument("--export-dir", default=None, help="export saved model here at the end")
-    ap.add_argument("--sorted-feature", default=None,
+    ap.add_argument("--sorted-feature", default="auto",
                     help="single-slot feature to host-sort each batch by: enables the "
                          "indices_are_sorted scatter fast path for its table "
-                         "(packed path, single- or multi-device, one process)")
+                         "(packed path, single- or multi-device, one process). "
+                         "'auto' (default) picks the largest eligible table and "
+                         "silently disables where the fast path doesn't apply; "
+                         "'off' disables")
     ap.add_argument("--block-sorted-kernel", choices=["off", "float32", "bfloat16"],
                     default="off",
                     help="route the sorted feature's gather/update through the "
@@ -97,6 +100,21 @@ def main():
         num_users=args.num_users, num_items=args.num_items,
         embedding_dim=args.embedding_dim, layer_sizes=tuple(args.layer_sizes),
     )
+    sorted_auto = False
+    if args.sorted_feature == "off":
+        args.sorted_feature = None
+    elif args.sorted_feature == "auto":
+        # fast-by-default: sort by the largest eligible table's feature where
+        # the fast path applies, silently off elsewhere
+        from two_tower_recommender_model_tpu.train.step import auto_sorted_feature
+
+        args.sorted_feature = (
+            auto_sorted_feature(mcfg)
+            if not args.no_packed and jax.process_count() == 1 else None
+        )
+        sorted_auto = args.sorted_feature is not None
+        if args.sorted_feature:
+            logging.info("sorted-feature auto: %s", args.sorted_feature)
     tcfg = cfg_lib.TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
@@ -142,6 +160,23 @@ def main():
         except Exception:
             pass
         plan = plan_sharding(mcfg, n_devices, hbm_budget_bytes=hbm)
+        if sorted_auto and args.sorted_feature:
+            # auto mode downgrades gracefully when the planner picked a
+            # strategy the sorted fast paths don't cover (column/table-wise)
+            import dataclasses as _dc
+
+            from two_tower_recommender_model_tpu.parallel.planner import (
+                REPLICATED as _REP, ROW_SHARDED as _ROW,
+            )
+            from two_tower_recommender_model_tpu.train.step import (
+                validate_sorted_feature as _vsf,
+            )
+
+            st = plan[_vsf(mcfg, tcfg)].strategy
+            if st not in (_ROW, _REP):
+                logging.info("sorted-feature auto: off (table is %s)", st)
+                args.sorted_feature = None
+                tcfg = _dc.replace(tcfg, sorted_feature=None)
         if tcfg.print_sharding_plan and jax.process_index() == 0:
             print(plan.describe())
         state = shard_train_state(state, plan, mesh)

@@ -182,3 +182,32 @@ def test_cli_sorted_feature_rejected_off_packed(csv_dir, tmp_path):
     ])
     assert r.returncode != 0
     assert "packed path" in (r.stdout + r.stderr)
+
+
+def test_cli_sorted_feature_auto_default(csv_dir, tmp_path):
+    """The CLI defaults to --sorted-feature auto: picks the largest eligible
+    table's feature and logs it; 'off' disables."""
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    base = [
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "1", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--limit-train-batches", "6", "--limit-val-batches", "2",
+        "--limit-test-batches", "2",
+        "--runs-root", str(tmp_path / "runs"),
+    ]
+    r = _run(base)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    # the fixture has 60 products > 40 users: the LARGER table wins
+    assert "sorted-feature auto: product_id" in (r.stdout + r.stderr)
+
+    r = _run(base + ["--sorted-feature", "off", "--runs-root", str(tmp_path / "runs2")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "sorted-feature auto" not in (r.stdout + r.stderr)

@@ -137,6 +137,23 @@ def validate_sorted_feature(model_cfg: ModelConfig, train_cfg: TrainConfig) -> s
     return fc.table
 
 
+def auto_sorted_feature(model_cfg: ModelConfig) -> str | None:
+    """The feature `sorted_feature="auto"` resolves to: the single-slot,
+    sole-reader feature with the LARGEST table (sorting buys the most on the
+    biggest scatter). None when no feature qualifies."""
+    best, best_rows = None, 0
+    for fc in model_cfg.features:
+        if fc.max_ids_per_sample != 1:
+            continue
+        readers = [f.name for f in model_cfg.features if f.table == fc.table]
+        if readers != [fc.name]:
+            continue
+        rows = model_cfg.table(fc.table).num_embeddings
+        if rows > best_rows:
+            best, best_rows = fc.name, rows
+    return best
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
