@@ -443,6 +443,14 @@ def main() -> None:
 
     h2d = measure_h2d_health()
     print(f"# h2d preflight: {h2d}", file=sys.stderr, flush=True)
+    if h2d["mb_per_s"] < 50 and "BENCH_STEPS" not in os.environ:
+        # severely degraded wire (tunnel congestion episodes run for hours,
+        # CLAUDE.md): shrink the wire-bound measurements so the run completes;
+        # the JSON's h2d_preflight.degraded flag marks the numbers as
+        # wire-limited, and device_step stays accurate regardless
+        per_window = max(per_window // 3, 1)
+        print("# degraded wire: shrinking hot-loop windows 3x "
+              f"(per_window={per_window})", file=sys.stderr, flush=True)
 
     variants = {}
     for dt in dtypes:
