@@ -136,11 +136,8 @@ def main():
         )
     if args.block_sorted_kernel != "off" and not args.sorted_feature:
         raise SystemExit("--block-sorted-kernel requires --sorted-feature")
-    if args.wire_format == "compact" and (args.no_packed or jax.process_count() > 1):
-        raise SystemExit(
-            "--wire-format compact requires the packed path in a single "
-            "process (single- or multi-device)"
-        )
+    if args.wire_format == "compact" and args.no_packed:
+        raise SystemExit("--wire-format compact requires the packed path")
     featurizer = Featurizer(mcfg)
     host_index, num_hosts = per_host_loader_slice()
     n_devices = len(jax.devices())
@@ -286,7 +283,9 @@ def main():
             wire = args.wire_format
             if wire == "auto":
                 # compact needs batch % (8 * data-axis) == 0 (bit groups of 8
-                # examples, then the group axis shards over data)
+                # examples, then the group axis shards over data); auto stays
+                # conservative on multi-host (explicit --wire-format compact
+                # works there too — tested in test_multihost.py)
                 wire = ("compact"
                         if args.batch_size % (8 * n_devices) == 0
                         and _jax.process_count() == 1 else "packed")
