@@ -348,3 +348,51 @@ def test_delta_macro_stacking(rng):
     exp = batch_from_compact(jax.tree.map(jnp.asarray, cbs[1]), mc, scheme)
     np.testing.assert_array_equal(np.asarray(got.features["user_id"].ids),
                                   np.asarray(exp.features["user_id"].ids))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_compact_roundtrip_fuzz(seed):
+    """Randomized schemes (table counts/sizes, multi-slot features, missing
+    ids, both pack_label modes) — the compact decode must equal unpack_batch
+    bit-for-bit on every draw."""
+    r = np.random.default_rng(seed)
+    n_tables = int(r.integers(1, 4))
+    tables, features = [], []
+    for t in range(n_tables):
+        n = int(r.integers(3, 300_000))
+        tables.append(cfg_lib.TableConfig(f"t{t}", n, 8, (f"f{t}",)))
+        L = int(r.integers(1, 4))
+        features.append(cfg_lib.FeatureConfig(f"f{t}", f"t{t}",
+                                              max_ids_per_sample=L,
+                                              pooling=("sum", "mean")[t % 2]))
+    mc = cfg_lib.ModelConfig(
+        tables=tuple(tables), features=tuple(features),
+        query_tower=cfg_lib.TowerConfig((features[0].name,), (8, 4)),
+        candidate_tower=cfg_lib.TowerConfig((features[-1].name,), (8, 4)),
+    )
+    mc.validate()
+    pack_label = bool(seed % 2)
+    feat = PackedFeaturizer(mc, pack_label=pack_label)
+    scheme = CompactScheme.from_model(mc, pack_label=pack_label)
+    b = 64
+    cols = {"label": r.integers(0, 2, b).astype(np.int64)}
+    for fc in features:
+        if fc.max_ids_per_sample == 1:
+            v = r.integers(0, 1 << 30, b).astype(np.int64)
+            v[r.random(b) < 0.2] = 0  # missing
+            cols[fc.name] = v
+        else:
+            vals = r.integers(0, 1 << 30, (b, fc.max_ids_per_sample)).astype(np.int64)
+            vals[r.random(vals.shape) < 0.3] = 0
+            cols[fc.name] = vals
+    pb = feat(cols)
+    cb = compact_from_packed(pb, scheme)
+    got = batch_from_compact(jax.tree.map(jnp.asarray, cb), mc, scheme)
+    exp = unpack_batch(jax.tree.map(jnp.asarray, pb), mc, pack_label=pack_label)
+    for name in exp.features:
+        np.testing.assert_array_equal(np.asarray(got.features[name].ids),
+                                      np.asarray(exp.features[name].ids), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(got.features[name].mask),
+                                      np.asarray(exp.features[name].mask), err_msg=name)
+    if pack_label:
+        np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(exp.labels))
