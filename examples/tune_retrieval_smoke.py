@@ -51,14 +51,18 @@ def main(work: str | None = None):
         evaluate_retrieval, split_positives)
     from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
     from two_tower_recommender_model_tpu.train.step import (
-        create_train_state, make_multi_step, make_train_step)
+        create_train_state, full_params, make_multi_step, make_train_step)
     from two_tower_recommender_model_tpu.tuning.adaptive import run_adaptive_sweep
     from two_tower_recommender_model_tpu.tuning.sweep import Choice, LogUniform
 
     work = work or "/tmp/tune_retrieval_smoke"
     shards, meta = prepare_smoke(work)
-    positives = split_positives(os.path.join(shards, "test"))
-    print(f"smoke data ready: {meta}; {len(positives)} test users", flush=True)
+    # model SELECTION scores on the VAL split; the TEST split is reserved for
+    # the final report of the winning config (no test leakage into tuning)
+    val_positives = split_positives(os.path.join(shards, "val"))
+    test_positives = split_positives(os.path.join(shards, "test"))
+    print(f"smoke data ready: {meta}; {len(val_positives)} val / "
+          f"{len(test_positives)} test users", flush=True)
 
     mcfg = cfg.two_tower_model_config(
         num_users=meta["num_users"], num_items=meta["num_items"],
@@ -85,12 +89,13 @@ def main(work: str | None = None):
             loader.set_epoch(epoch)
             state, stats = train_one_epoch_packed(state, multi, loader, feat,
                                                   macro=8, tail_step=tail_step)
-        params = {"tables": state.tables, **state.dense_params}
-        m = evaluate_retrieval(params, mcfg, positives, k=100, max_users=10_000,
-                               ks=(100,))
+        params = full_params(state)
+        m = evaluate_retrieval(params, mcfg, val_positives, k=100,
+                               max_users=10_000, ks=(100,))
         return {"recall_at_100": float(m["recall_at_100"]),
                 "train_loss": stats["train_loss"],
-                "trial_time_s": round(time.perf_counter() - t0, 1)}
+                "trial_time_s": round(time.perf_counter() - t0, 1),
+                "_params": params}
 
     space = {
         "temperature": LogUniform(0.05, 3.0),
@@ -102,7 +107,10 @@ def main(work: str | None = None):
                              metric="recall_at_100", mode="max", seed=0, n_startup=4)
     print(res.table(), flush=True)
     best = res.best()
-    print(f"BEST recall@100 = {best.metrics['recall_at_100']:.4f} @ {best.config}")
+    test_m = evaluate_retrieval(best.metrics["_params"], mcfg, test_positives,
+                                k=100, max_users=10_000, ks=(100,))
+    print(f"BEST val recall@100 = {best.metrics['recall_at_100']:.4f} @ {best.config}")
+    print(f"TEST recall@100 (winning config, held out) = {test_m['recall_at_100']:.4f}")
     return res
 
 

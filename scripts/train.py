@@ -115,6 +115,12 @@ def main():
         sorted_auto = args.sorted_feature is not None
         if args.sorted_feature:
             logging.info("sorted-feature auto: %s", args.sorted_feature)
+        elif args.block_sorted_kernel != "off":
+            # auto resolved to OFF: the block kernels need a sorted feature,
+            # so they turn off with it instead of crashing downstream
+            logging.info("block-sorted-kernel off (sorted-feature auto found "
+                         "no eligible feature here)")
+            args.block_sorted_kernel = "off"
     tcfg = cfg_lib.TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
@@ -170,10 +176,14 @@ def main():
             )
 
             st = plan[_vsf(mcfg, tcfg)].strategy
-            if st not in (_ROW, _REP):
+            if st not in (_ROW, _REP) or (
+                args.block_sorted_kernel != "off" and st != _ROW
+            ):
                 logging.info("sorted-feature auto: off (table is %s)", st)
                 args.sorted_feature = None
-                tcfg = _dc.replace(tcfg, sorted_feature=None)
+                args.block_sorted_kernel = "off"
+                tcfg = _dc.replace(tcfg, sorted_feature=None,
+                                   block_sorted_kernel="off")
         if tcfg.print_sharding_plan and jax.process_index() == 0:
             print(plan.describe())
         state = shard_train_state(state, plan, mesh)
@@ -205,6 +215,12 @@ def main():
         os.path.join(args.data_dir, "train"), args.batch_size, seed=args.seed,
         host_index=host_index, num_hosts=num_hosts,
     )
+    if args.no_packed and train_loader.dataset.index.get("packed"):
+        raise SystemExit(
+            "--no-packed cannot train on a PRE-PACKED dataset (its columns are "
+            "device-layout packed_ids, not raw features) — drop --no-packed or "
+            "prepare the data without --packed"
+        )
     start_epoch = 0
     if args.resume and ckpt is not None and ckpt.latest_step() is not None:
         state, loader_state, extra = ckpt.restore(state)
@@ -275,11 +291,8 @@ def main():
                 make_sharded_compact_multi_step,
                 make_sharded_multi_step,
             )
-            from two_tower_recommender_model_tpu.parallel.sharded import (
-                make_sharded_train_step as _msts,
-            )
-
-            core_sh = _msts(mcfg, tcfg, dense_opt, mesh, plan, donate=False, jit=False)
+            core_sh = make_sharded_train_step(
+                mcfg, tcfg, dense_opt, mesh, plan, donate=False, jit=False)
             wire = args.wire_format
             if wire == "auto":
                 # compact needs batch % (8 * data-axis) == 0 (bit groups of 8
@@ -356,11 +369,7 @@ def main():
             )
 
             featurizer = PrepackedFeaturizer.for_dataset(val_ds, mcfg)
-            base_eval = (
-                make_sharded_eval_step(mcfg, tcfg, mesh, plan) if sharded
-                else make_eval_step(mcfg, tcfg)
-            )
-            eval_step = make_packed_eval_step(base_eval, mcfg,
+            eval_step = make_packed_eval_step(eval_step, mcfg,
                                               pack_label=featurizer.pack_label)
 
         def train_epoch_fn(state, epoch):

@@ -201,3 +201,83 @@ def test_prepacked_unpacked_labels_flow_through_cli(tmp_path):
     # all-zero labels (the pre-fix failure) make BCE collapse toward 0 loss on
     # negatives and AUROC undefined; a real mix keeps loss near ln 2 initially
     assert 0.2 < metrics["train_loss"] < 1.5, metrics
+
+
+def test_odd_large_batch_softmax_never_goes_dense():
+    """An odd batch size > 4096 with no power-of-2 divisor must pad+mask into
+    the blockwise path (the dense [B, B] matrix would OOM at scale) and match
+    a direct dense computation on the small version of the same inputs."""
+    import jax.numpy as jnp
+
+    from two_tower_recommender_model_tpu.models.losses import (
+        _chunked_sampled_softmax,
+        in_batch_sampled_softmax,
+    )
+
+    rng = np.random.default_rng(0)
+    b, d = 4099, 8  # prime > 4096
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, b).astype(np.int32))
+    got = float(in_batch_sampled_softmax(q, c, labels))
+    # oracle: the padded+masked chunked path at r=1 equals per-row dense math
+    exp = float(_chunked_sampled_softmax(
+        jnp.pad(q, ((0, 509), (0, 0))), jnp.pad(c, ((0, 509), (0, 0))),
+        jnp.pad(labels, (0, 509)), None, None, 1.0, 512, n_valid=b))
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+    assert np.isfinite(got)
+
+
+def test_split_positives_resolves_packed_slots_by_name(tmp_path):
+    """A prepacked split whose ITEM feature comes first (slot 0) must still
+    group positives by the right columns — slot indices come from the
+    recorded layout, not an assumed [user, item] order."""
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data.prepacked import pack_dataset
+    from two_tower_recommender_model_tpu.evaluation.retrieval import split_positives
+
+    mc = cfg_lib.ModelConfig(
+        tables=(cfg_lib.TableConfig("t_i", 50, 8, ("product_id",)),
+                cfg_lib.TableConfig("t_u", 90, 8, ("user_id",))),
+        features=(cfg_lib.FeatureConfig("product_id", "t_i"),   # slot 0!
+                  cfg_lib.FeatureConfig("user_id", "t_u")),     # slot 1
+        query_tower=cfg_lib.TowerConfig(("user_id",), (8, 4)),
+        candidate_tower=cfg_lib.TowerConfig(("product_id",), (8, 4)),
+    )
+    mc.validate()
+    rng = np.random.default_rng(0)
+    cols = {
+        "user_id": rng.integers(1, 90, 256).astype(np.int64),
+        "product_id": rng.integers(1, 50, 256).astype(np.int64),
+        "label": rng.integers(0, 2, 256).astype(np.int64),
+    }
+    d = str(tmp_path / "split")
+    pack_dataset(d, mc, cols, rows_per_shard=128)
+    got = split_positives(d)
+    exp: dict[int, list] = {}
+    for u, p, l in zip(cols["user_id"], cols["product_id"], cols["label"]):
+        if l == 1:
+            exp.setdefault(int(u), []).append(int(p))
+    assert got == exp
+
+
+def test_cli_no_packed_rejects_prepacked_dataset(tmp_path):
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.prepacked import pack_dataset
+
+    mcfg = cfg_lib.two_tower_model_config(80, 40, embedding_dim=8, layer_sizes=(16, 8))
+    ds = SyntheticClickstream(80, 40, seed=3)
+    root = tmp_path / "data"
+    for split in ("train", "val", "test"):
+        pack_dataset(str(root / split), mcfg, ds.sample(512), rows_per_shard=256)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    r = subprocess.run([
+        sys.executable, "scripts/train.py", "--data-dir", str(root),
+        "--num-users", "80", "--num-items", "40", "--epochs", "1",
+        "--batch-size", "64", "--no-packed", "--no-shard",
+    ], capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode != 0
+    assert "PRE-PACKED" in (r.stdout + r.stderr)

@@ -171,22 +171,38 @@ def split_positives(
 
     dataset = ShardedDataset(split_path)
     packed_meta = dataset.index.get("packed")
+    if packed_meta:
+        # resolve the feature -> slot mapping from the dataset's RECORDED
+        # layout (never assume user/item live at slots 0/1: multi-slot
+        # features or a different feature order shift them)
+        slot_of, off = {}, 0
+        for name, L, _n in packed_meta["slots"]:
+            slot_of[name] = off
+            off += L
+        if user_col not in slot_of or item_col not in slot_of:
+            raise ValueError(
+                f"packed split {split_path}: features {list(slot_of)} do not "
+                f"include {user_col!r}/{item_col!r}"
+            )
+        u_slot, i_slot = slot_of[user_col], slot_of[item_col]
     columns = None if packed_meta else [user_col, item_col, label_col]
     user_positives: dict[int, list] = {}
     loader = StreamLoader(dataset, 1 << 16, shuffle=False, drop_last=False,
                           columns=columns)
     for cols in loader:
         if packed_meta:
-            # pre-packed split: slot 0 = user id (+ label in bit 30 when
-            # pack_label), slot 1 = item id
             ids = np.asarray(cols["packed_ids"])
+            us = ids[:, u_slot]
             if packed_meta["pack_label"]:
+                # the label bit rides bit 30 of slot 0
                 labels = (ids[:, 0] >> 30) & 1
-                us = ids[:, 0] & ((1 << 30) - 1)
+                if u_slot == 0:
+                    us = us & ((1 << 30) - 1)
             else:
                 labels = np.asarray(cols["labels"])
-                us = ids[:, 0]
-            ps = ids[:, 1]
+            ps = ids[:, i_slot]
+            if packed_meta["pack_label"] and i_slot == 0:
+                ps = ps & ((1 << 30) - 1)
         else:
             labels = np.asarray(cols[label_col])
             us, ps = np.asarray(cols[user_col]), np.asarray(cols[item_col])
@@ -214,6 +230,11 @@ def evaluate_retrieval(
     averaged retriever metrics (`:202-226`). `candidate_dense`/`query_dense`
     supply per-id dense tower inputs (e.g. item text features) indexed by raw
     id."""
+    if not user_positives:
+        raise ValueError(
+            "user_positives is empty — the split has no label==1 rows to "
+            "evaluate against (check the split / label column)"
+        )
     users = np.array(sorted(user_positives.keys())[:max_users])
     user_emb = export_feature_embeddings(
         params, model_cfg, query_feature, ids=users,

@@ -64,6 +64,20 @@ def in_batch_sampled_softmax(
         return _chunked_sampled_softmax(
             query_emb, cand_emb, labels, item_ids, log_q, temperature, chunk
         )
+    if b > 4096:
+        # no usable divisor (odd large batch): pad to a chunkable size and
+        # mask the pad columns out of every denominator — NEVER fall back to
+        # the dense [B, B] matrix at sizes where it would blow HBM
+        r = 512
+        pad = (-b) % r
+        zpad = lambda x, w: jnp.pad(x, ((0, w),) + ((0, 0),) * (x.ndim - 1))  # noqa: E731
+        return _chunked_sampled_softmax(
+            zpad(query_emb, pad), zpad(cand_emb, pad), zpad(labels, pad),
+            None if item_ids is None else jnp.pad(item_ids, (0, pad),
+                                                  constant_values=-1),
+            None if log_q is None else zpad(log_q, pad),
+            temperature, r, n_valid=b,
+        )
     scores = jnp.dot(query_emb, cand_emb.T, preferred_element_type=jnp.float32) / temperature
     if log_q is not None:
         scores = scores - log_q[None, :].astype(scores.dtype)
@@ -91,7 +105,8 @@ def _auto_row_chunk(b: int, target_block: int = 1 << 24) -> int | None:
     return r if 1 < r < b and b % r == 0 else None
 
 
-def _chunked_sampled_softmax(q, c, labels, item_ids, log_q, temperature, r):
+def _chunked_sampled_softmax(q, c, labels, item_ids, log_q, temperature, r,
+                             n_valid: int | None = None):
     """Blockwise in-batch softmax: scan over [R, B] row blocks of the score
     matrix with per-block rematerialization, so the O(B^2) scores never
     materialize (1 GB at bs=16k; 275 GB — impossible — at the bs=262k
@@ -108,6 +123,9 @@ def _chunked_sampled_softmax(q, c, labels, item_ids, log_q, temperature, r):
         scores = jnp.dot(qc, ct, preferred_element_type=jnp.float32) / temperature
         if adj is not None:
             scores = scores - adj[None, :]
+        if n_valid is not None and n_valid < b:
+            # pad columns must not act as in-batch negatives
+            scores = jnp.where((cols >= n_valid)[None, :], -1e9, scores)
         rows = base + jnp.arange(r, dtype=jnp.int32)
         eye = rows[:, None] == cols[None, :]
         if item_ids is not None:
