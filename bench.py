@@ -433,7 +433,11 @@ def main() -> None:
     macro = int(os.environ.get("BENCH_MACRO_BATCHES", 16))
     windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 5)
     per_window = max(int(os.environ.get("BENCH_STEPS", 480)) // macro // windows, 1)
-    disk_rows = int(os.environ.get("BENCH_DISK_ROWS", 8 << 20))
+    # enough rows that a from-disk epoch runs >= 4 full macro dispatches at
+    # the headline batch size (2-dispatch epochs are dominated by per-epoch
+    # fixed costs: loader reset, first-batch latency, the final loss fetch)
+    disk_rows = int(os.environ.get("BENCH_DISK_ROWS",
+                                   max(8 << 20, 4 * macro * batch_size)))
     dtypes = os.environ.get(
         "BENCH_TABLE_DTYPES",
         "float32+sorted+compact+delta+blockkernel,float32+sorted+compact+delta,"
