@@ -427,10 +427,12 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
 
 
 def main() -> None:
-    # bs=256k / macro=8: the scatter-bound step runs ~1.7x more examples/s
-    # than bs=64k (measured; step time scales sublinearly in B)
+    # bs=256k: the scatter-bound step runs ~1.7x more examples/s than bs=64k
+    # (measured; step time scales sublinearly in B)
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 262144))
-    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 16))
+    # macro=32 measured 15.5M vs 16's 11.7M ex/s at bs=262k (dispatch
+    # amortization still pays at the delta wire's 13MB/macro payloads)
+    macro = int(os.environ.get("BENCH_MACRO_BATCHES", 32))
     windows = max(int(os.environ.get("BENCH_WINDOWS", 5)), 5)
     per_window = max(int(os.environ.get("BENCH_STEPS", 480)) // macro // windows, 1)
     # enough rows that a from-disk epoch runs >= 4 full macro dispatches at
