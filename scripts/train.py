@@ -46,8 +46,11 @@ def parse_args():
     ap.add_argument("--no-shard", action="store_true", help="force replicated tables")
     ap.add_argument("--no-packed", action="store_true",
                     help="disable the packed macro-batch fast path (single-device only)")
-    ap.add_argument("--macro-batches", type=int, default=16,
-                    help="steps per dispatch on the packed fast path")
+    ap.add_argument("--macro-batches", type=int, default=32,
+                    help="steps per dispatch on the packed fast path (32 measured "
+                         "~30%% faster than 16 at flagship shapes; mid-epoch "
+                         "validation lands on macro boundaries, so larger values "
+                         "coarsen the validation_freq grid)")
     ap.add_argument("--export-dir", default=None, help="export saved model here at the end")
     ap.add_argument("--sorted-feature", default="auto",
                     help="single-slot feature to host-sort each batch by: enables the "
