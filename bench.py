@@ -356,13 +356,20 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
 
 
 def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
-    """End-to-end epoch from TTRS shards on local disk — the number that
-    reconciles with the reference's from-disk 27k ex/s epoch
-    (`03_model_training.py:866`). Uses the production fast path: PRE-PACKED
-    uncompressed shards (device-layout columns written once at prep time,
-    `data/prepacked.py`) -> mmap StreamLoader -> compact wire re-encode in the
-    prefetch workers -> macro-scan train."""
+    """End-to-end epochs from TTRS shards on local disk — the numbers that
+    reconcile with the reference's from-disk 27k ex/s epoch
+    (`03_model_training.py:866`). Two production modes measured on the SAME
+    prepared dataset:
+
+    - dynamic (`scripts/train.py` default): PRE-PACKED uncompressed shards
+      (device-layout columns written at prep time, `data/prepacked.py`) ->
+      mmap StreamLoader row shuffle -> per-batch sort + compact/delta encode
+      in the prefetch workers -> macro-scan train;
+    - wire_cache (`--wire-cache`): batches fully encoded ONCE at build time
+      (`data/wirecache.py`), epochs reshuffle at batch granularity and the
+      host path is mmap + one memcpy — reports the build time too."""
     import tempfile
+    import time as _time
 
     import jax
 
@@ -379,6 +386,10 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
         pack_dataset,
     )
     from two_tower_recommender_model_tpu.data.shards import ShardedDataset
+    from two_tower_recommender_model_tpu.data.wirecache import (
+        WireCache,
+        build_wire_cache,
+    )
     from two_tower_recommender_model_tpu.train.loop import train_one_epoch_packed
     from two_tower_recommender_model_tpu.train.step import (
         create_train_state,
@@ -417,13 +428,37 @@ def measure_from_disk(batch_size: int, macro: int, rows: int) -> dict:
         if epoch > 0:
             epoch_stats.append(stats)
     eps = _median([s["examples_per_sec"] for s in epoch_stats])
-    return {
+    out = {
         "examples_per_sec": eps,
         "epochs_examples_per_sec": [round(s["examples_per_sec"], 1) for s in epoch_stats],
         "rows": epoch_stats[-1]["train_examples"],
         "epoch_time_s": round(_median([s["epoch_time_s"] for s in epoch_stats]), 3),
         "wire_bytes_per_example": scheme.wire_bytes_per_example,
     }
+
+    # --- wire-cache mode on the same dataset (one-time encode, then
+    # mmap+memcpy epochs; same compiled step, same wire format) ---
+    loader = StreamLoader(dataset, batch_size, seed=1, read_workers=2)
+    loader.set_epoch(0)
+    t0 = _time.perf_counter()
+    build_wire_cache(work + "_wc", loader, featurizer)
+    build_s = _time.perf_counter() - t0
+    cache = WireCache(work + "_wc", scheme=scheme)
+    wc_stats = []
+    for epoch in range(4):
+        state, stats = train_one_epoch_packed(
+            state, multi, cache.batches(epoch), lambda cb: cb, macro=macro)
+        if epoch > 0:
+            wc_stats.append(stats)
+    out["wire_cache"] = {
+        "examples_per_sec": round(
+            _median([s["examples_per_sec"] for s in wc_stats]), 1),
+        "epochs_examples_per_sec": [
+            round(s["examples_per_sec"], 1) for s in wc_stats],
+        "epoch_time_s": round(_median([s["epoch_time_s"] for s in wc_stats]), 3),
+        "build_s": round(build_s, 2),
+    }
+    return out
 
 
 def main() -> None:
@@ -530,6 +565,16 @@ def main() -> None:
             "epoch_time_s": fd["epoch_time_s"],
             "vs_baseline": round(fd["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
         }
+        if "wire_cache" in fd:
+            check_roofline(
+                fd["wire_cache"]["examples_per_sec"],
+                roofline_model(batch_size, "float32", fd["wire_bytes_per_example"]),
+                "from_disk_wire_cache")
+            record["from_disk"]["wire_cache"] = {
+                **fd["wire_cache"],
+                "vs_baseline": round(
+                    fd["wire_cache"]["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
+            }
     print(json.dumps(record))
 
 

@@ -65,6 +65,14 @@ def parse_args():
                          "block-sorted one-hot MXU kernels (DESIGN §6e); float32 "
                          "keeps f32-exact math, bfloat16 rounds operands for ~3x "
                          "MXU rate")
+    ap.add_argument("--wire-cache", default=None, metavar="DIR",
+                    help="pre-encoded batch cache (data/wirecache.py): built on "
+                         "first use from epoch-0 loader order, reused after — "
+                         "epoch host cost drops to mmap+memcpy. Epochs reshuffle "
+                         "at BATCH granularity (intra-batch composition is "
+                         "frozen at build; rebuild the cache to re-roll it) and "
+                         "the trailing partial batch is dropped. Requires the "
+                         "packed path + compact wire in a single process")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -375,7 +383,43 @@ def main():
             eval_step = make_packed_eval_step(eval_step, mcfg,
                                               pack_label=featurizer.pack_label)
 
+        wire_cache = None
+        if args.wire_cache:
+            scheme_wc = getattr(packed_feat, "scheme", None)
+            if scheme_wc is None:
+                raise SystemExit("--wire-cache requires the compact wire format "
+                                 "(drop --wire-format packed)")
+            if _jax.process_count() > 1:
+                raise SystemExit("--wire-cache is single-process (single- or "
+                                 "multi-device)")
+            from two_tower_recommender_model_tpu.data.wirecache import (
+                WireCache, build_wire_cache,
+            )
+
+            if not os.path.exists(os.path.join(args.wire_cache, "meta.json")):
+                train_loader.set_epoch(0)
+                meta = build_wire_cache(args.wire_cache, train_loader, packed_feat)
+                logging.info("wire cache built: %d batches (%d tail rows "
+                             "dropped) -> %s", meta["num_batches"],
+                             meta["dropped_tail_rows"], args.wire_cache)
+            wire_cache = WireCache(args.wire_cache, scheme=scheme_wc,
+                                   seed=args.seed)
+
         def train_epoch_fn(state, epoch):
+            if wire_cache is not None:
+                # clamp the macro to the cache size so small datasets still
+                # take the macro fast path; leftovers (< one macro) train
+                # batch-by-batch through tail_step rather than being dropped
+                macro_eff = max(1, min(args.macro_batches, wire_cache.num_batches))
+                return train_one_epoch_packed(
+                    state, multi, wire_cache.batches(epoch), lambda cb: cb,
+                    macro=macro_eff, train_cfg=tcfg, tail_step=tail_step,
+                    eval_step=eval_step,
+                    val_batches_factory=eval_factory("val"), val_featurizer=featurizer,
+                    logger=logger, epoch=epoch, sharding=macro_sh,
+                    tail_sharding=tail_sh, val_sharding=sharding,
+                    pad_multiple=n_devices if sharded else None, pad_to=eval_pad_to,
+                )
             train_loader.set_epoch(epoch)
             return train_one_epoch_packed(
                 state, multi, train_loader, packed_feat, macro=args.macro_batches,

@@ -211,3 +211,38 @@ def test_cli_sorted_feature_auto_default(csv_dir, tmp_path):
     r = _run(base + ["--sorted-feature", "off", "--runs-root", str(tmp_path / "runs2")])
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     assert "sorted-feature auto" not in (r.stdout + r.stderr)
+
+
+def test_cli_wire_cache_build_then_reuse(csv_dir, tmp_path):
+    """--wire-cache: first run encodes the cache (logged), second run reuses it
+    (no rebuild); both train to finite metrics through the packed macro loop."""
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    wc = str(tmp_path / "wc")
+    base = [
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "2", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--limit-val-batches", "2", "--limit-test-batches", "2",
+        "--wire-cache", wc,
+    ]
+    r = _run(base + ["--runs-root", str(tmp_path / "runs")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "wire cache built" in (r.stdout + r.stderr)
+    assert "test_auroc" in r.stdout
+    # every cached batch must actually train (macro clamp + tail_step; a
+    # cache smaller than one macro regressed to 0 steps once)
+    assert "'train_steps': 0" not in r.stdout, r.stdout[-2000:]
+    assert os.path.exists(os.path.join(wc, "meta.json"))
+
+    r = _run(base + ["--runs-root", str(tmp_path / "runs2")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "wire cache built" not in (r.stdout + r.stderr)
+    assert "test_auroc" in r.stdout
+    assert "'train_steps': 0" not in r.stdout, r.stdout[-2000:]

@@ -69,7 +69,14 @@ def sort_packed_batch(
         col = col & ((1 << 30) - 1)
     key = col % num_embeddings
     key = np.where(col == 0, num_embeddings, key)
-    order = np.argsort(key, kind="stable")
+    # stable argsort via one int64 sort of (key << 32 | row): ~3 ms at
+    # B=262k vs ~30 ms for np.argsort(kind="stable") on int32 keys — ties
+    # break by row index, so the order is stable by construction (key fits
+    # 31 bits: num_embeddings < 2^30)
+    comb = key.astype(np.int64) << 32
+    comb |= np.arange(key.shape[0], dtype=np.int64)
+    comb.sort()
+    order = comb.astype(np.int32)  # low 32 bits = original row index
     return PackedBatch(
         ids_raw=np.ascontiguousarray(pb.ids_raw[order]),
         labels=pb.labels[order] if pb.labels.size else pb.labels,
