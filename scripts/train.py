@@ -72,7 +72,8 @@ def parse_args():
                          "at BATCH granularity (intra-batch composition is "
                          "frozen at build; rebuild the cache to re-roll it) and "
                          "the trailing partial batch is dropped. Requires the "
-                         "packed path + compact wire in a single process")
+                         "packed path + compact wire; multi-host builds one "
+                         "cache per process under DIR/host-N-of-M")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -384,35 +385,56 @@ def main():
                                               pack_label=featurizer.pack_label)
 
         wire_cache = None
+        wc_limit = None
         if args.wire_cache:
             scheme_wc = getattr(packed_feat, "scheme", None)
             if scheme_wc is None:
                 raise SystemExit("--wire-cache requires the compact wire format "
                                  "(drop --wire-format packed)")
-            if _jax.process_count() > 1:
-                raise SystemExit("--wire-cache is single-process (single- or "
-                                 "multi-device)")
             from two_tower_recommender_model_tpu.data.wirecache import (
                 WireCache, build_wire_cache,
             )
 
-            if not os.path.exists(os.path.join(args.wire_cache, "meta.json")):
+            # multi-host: one cache PER PROCESS, each encoding this host's
+            # loader slice (batches assemble into global arrays exactly like
+            # the dynamic path, via device_put_batch)
+            cache_dir = args.wire_cache
+            if _jax.process_count() > 1:
+                cache_dir = os.path.join(
+                    args.wire_cache,
+                    f"host-{_jax.process_index()}-of-{_jax.process_count()}")
+            if not os.path.exists(os.path.join(cache_dir, "meta.json")):
                 train_loader.set_epoch(0)
-                meta = build_wire_cache(args.wire_cache, train_loader, packed_feat)
+                meta = build_wire_cache(cache_dir, train_loader, packed_feat)
                 logging.info("wire cache built: %d batches (%d tail rows "
                              "dropped) -> %s", meta["num_batches"],
-                             meta["dropped_tail_rows"], args.wire_cache)
-            wire_cache = WireCache(args.wire_cache, scheme=scheme_wc,
-                                   seed=args.seed)
+                             meta["dropped_tail_rows"], cache_dir)
+            wire_cache = WireCache(cache_dir, scheme=scheme_wc, seed=args.seed)
+            if _jax.process_count() > 1:
+                # lockstep contract: every host must take the SAME number of
+                # steps per epoch — truncate to the global minimum batch count
+                import numpy as _np
+                from jax.experimental import multihost_utils as _mhu
+
+                counts = _np.asarray(_mhu.process_allgather(
+                    _np.asarray([wire_cache.num_batches]), tiled=True))
+                wc_limit = int(counts.min())
+                if wc_limit != wire_cache.num_batches:
+                    logging.info("wire cache: truncating %d -> %d batches "
+                                 "(global min across hosts)",
+                                 wire_cache.num_batches, wc_limit)
 
         def train_epoch_fn(state, epoch):
             if wire_cache is not None:
                 # clamp the macro to the cache size so small datasets still
                 # take the macro fast path; leftovers (< one macro) train
                 # batch-by-batch through tail_step rather than being dropped
-                macro_eff = max(1, min(args.macro_batches, wire_cache.num_batches))
+                nb = wc_limit if wc_limit is not None else wire_cache.num_batches
+                macro_eff = max(1, min(args.macro_batches, nb))
                 return train_one_epoch_packed(
-                    state, multi, wire_cache.batches(epoch), lambda cb: cb,
+                    state, multi,
+                    wire_cache.batches(epoch, limit_batches=wc_limit),
+                    lambda cb: cb,
                     macro=macro_eff, train_cfg=tcfg, tail_step=tail_step,
                     eval_step=eval_step,
                     val_batches_factory=eval_factory("val"), val_featurizer=featurizer,

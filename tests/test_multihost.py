@@ -384,3 +384,57 @@ def test_two_process_compact_wire_matches_single_process(tmp_path):
     np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-5)
     np.testing.assert_allclose(result["t_user"], np.asarray(state.tables["t_user_id"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_cli_multihost_wire_cache(tmp_path):
+    """--wire-cache across 2 OS processes: each host encodes ITS loader slice
+    into its own cache (host-N-of-M subdir), epochs train through the macro
+    assembler with global-min step alignment, metrics are finite."""
+    import json
+
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.shards import write_dataset
+
+    ds = SyntheticClickstream(60, 40, seed=1)
+    for split, n in (("train", 2000), ("val", 400), ("test", 400)):
+        cols = ds.sample(n, split)
+        write_dataset(str(tmp_path / "data" / split), cols, rows_per_shard=256)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "scripts/train.py",
+             "--data-dir", str(tmp_path / "data"),
+             "--num-users", "61", "--num-items", "41",
+             "--epochs", "2", "--batch-size", "64",
+             "--embedding-dim", "8", "--layer-sizes", "16", "8",
+             "--limit-val-batches", "2", "--limit-test-batches", "2",
+             "--multi-host", "--wire-format", "compact",
+             "--wire-cache", str(tmp_path / "wc"),
+             "--runs-root", str(tmp_path / f"runs{pid}")],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    # one cache per process, each from that host's loader slice
+    assert os.path.exists(str(tmp_path / "wc" / "host-0-of-2" / "meta.json"))
+    assert os.path.exists(str(tmp_path / "wc" / "host-1-of-2" / "meta.json"))
+    assert "wire cache built" in outs[0]
+    results = [line for line in outs[0].splitlines() if "'test_auroc'" in line]
+    assert results, outs[0][-2000:]
+    parsed = json.loads(results[-1].replace("'", '"'))
+    assert parsed["train_steps"] > 0, parsed
+    for key in ("baseline_val_auroc", "val_loss", "val_auroc", "test_loss", "test_auroc"):
+        assert np.isfinite(parsed[key]), (key, parsed)

@@ -195,13 +195,21 @@ class WireCache:
         host_index: int = 0,
         host_count: int = 1,
         skip_batches: int = 0,
+        limit_batches: int | None = None,
     ) -> Iterator[CompactBatch]:
         """This host's slice of the epoch: disjoint, equal-count contiguous
         runs of the shuffled order (same alignment contract as
-        `StreamLoader`); `skip_batches` supports mid-epoch resume."""
+        `StreamLoader`); `skip_batches` supports mid-epoch resume.
+
+        `limit_batches` truncates the slice AFTER host slicing — multi-host
+        runs with one cache PER PROCESS (each built from that host's loader
+        slice) pass the global-min batch count here so every host takes the
+        same number of steps (the lockstep contract collectives require)."""
         if not (0 <= host_index < host_count):
             raise ValueError(f"host_index {host_index} out of range {host_count}")
         per_host = self.num_batches // host_count
         order = self.order(epoch)[host_index * per_host : (host_index + 1) * per_host]
+        if limit_batches is not None:
+            order = order[:limit_batches]
         for i in order[skip_batches:]:
             yield self._batch(int(i))
