@@ -61,10 +61,12 @@ def parse_args():
                          "'off' disables")
     ap.add_argument("--block-sorted-kernel", choices=["off", "float32", "bfloat16"],
                     default="off",
-                    help="route the sorted feature's gather/update through the "
-                         "block-sorted one-hot MXU kernels (DESIGN §6e); float32 "
-                         "keeps f32-exact math, bfloat16 rounds operands for ~3x "
-                         "MXU rate")
+                    help="route table ops through the block-sorted one-hot MXU "
+                         "kernels (DESIGN §6e): the sorted feature's gather+update "
+                         "directly, every other eligible f32 table's update via a "
+                         "device-sort front-end (works without --sorted-feature, "
+                         "multi-host included); float32 keeps f32-exact math, "
+                         "bfloat16 rounds operands for ~3x MXU rate")
     ap.add_argument("--wire-cache", default=None, metavar="DIR",
                     help="pre-encoded batch cache (data/wirecache.py): built on "
                          "first use from epoch-0 loader order, reused after — "
@@ -128,11 +130,10 @@ def main():
         if args.sorted_feature:
             logging.info("sorted-feature auto: %s", args.sorted_feature)
         elif args.block_sorted_kernel != "off":
-            # auto resolved to OFF: the block kernels need a sorted feature,
-            # so they turn off with it instead of crashing downstream
-            logging.info("block-sorted-kernel off (sorted-feature auto found "
-                         "no eligible feature here)")
-            args.block_sorted_kernel = "off"
+            # auto resolved to OFF: the kernels still run in device-sort
+            # update mode (no block gather; eligible tables sort on device)
+            logging.info("block-sorted-kernel: device-sort update mode "
+                         "(sorted-feature auto found no eligible feature)")
     tcfg = cfg_lib.TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
@@ -152,8 +153,6 @@ def main():
             "--sorted-feature requires the packed path in a single process "
             "(single- or multi-device)"
         )
-    if args.block_sorted_kernel != "off" and not args.sorted_feature:
-        raise SystemExit("--block-sorted-kernel requires --sorted-feature")
     if args.wire_format == "compact" and args.no_packed:
         raise SystemExit("--wire-format compact requires the packed path")
     featurizer = Featurizer(mcfg)
@@ -191,11 +190,12 @@ def main():
             if st not in (_ROW, _REP) or (
                 args.block_sorted_kernel != "off" and st != _ROW
             ):
+                # the sorted fast paths don't cover this strategy; the block
+                # kernels stay on in device-sort update mode (in-graph
+                # per-table eligibility gating)
                 logging.info("sorted-feature auto: off (table is %s)", st)
                 args.sorted_feature = None
-                args.block_sorted_kernel = "off"
-                tcfg = _dc.replace(tcfg, sorted_feature=None,
-                                   block_sorted_kernel="off")
+                tcfg = _dc.replace(tcfg, sorted_feature=None)
         if tcfg.print_sharding_plan and jax.process_index() == 0:
             print(plan.describe())
         state = shard_train_state(state, plan, mesh)

@@ -200,20 +200,42 @@ def test_train_step_block_sorted_matches_baseline():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6)
 
 
-def test_block_sorted_requires_sorted_feature():
+def test_block_sorted_without_sorted_feature_matches_baseline():
+    """block_sorted_kernel WITHOUT a sorted_feature: every eligible table's
+    update routes through the device-sort + fused kernel front-end
+    (`device_sorted_fused_adagrad`) on UNSORTED batches, matching the plain
+    scatter-path step to f32 summation-order tolerance."""
     import jax
 
     from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
     from two_tower_recommender_model_tpu.train.step import (
         create_train_state,
         make_train_step,
     )
 
     mcfg = cfg_lib.two_tower_model_config(300, 80, embedding_dim=128)
-    tcfg = cfg_lib.TrainConfig(block_sorted_kernel="float32")
-    _, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
-    with pytest.raises(ValueError, match="requires sorted_feature"):
-        make_train_step(mcfg, tcfg, dense_opt)
+    ds = SyntheticClickstream(300, 80, seed=7)
+    feat = Featurizer(mcfg)
+    batches = [feat(ds.sample(256, start=i)) for i in range(3)]
+
+    def run(tcfg):
+        state, dense_opt = create_train_state(jax.random.key(5), mcfg, tcfg)
+        step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+        losses = []
+        for b in batches:
+            state, out = step(state, b)
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    state_a, loss_a = run(cfg_lib.TrainConfig())
+    state_b, loss_b = run(cfg_lib.TrainConfig(block_sorted_kernel="float32"))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for name in state_a.tables:
+        np.testing.assert_allclose(
+            np.asarray(state_a.tables[name]), np.asarray(state_b.tables[name]),
+            rtol=1e-5, atol=1e-6,
+        )
 
 
 @pytest.mark.parametrize("kind", CASES)
@@ -249,3 +271,47 @@ def test_fused_adagrad_matches_two_kernel_path(kind, n):
     )
     np.testing.assert_allclose(np.asarray(fus_a), np.asarray(exp_a), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fus_t), np.asarray(exp_t), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [220, 16 * 11])
+def test_device_sorted_fused_matches_dense_on_unsorted_ids(n):
+    """device_sorted_fused_adagrad: UNSORTED ids (+ sentinels + duplicates)
+    through the device sort + permute + fused kernel == dense_rowwise_adagrad
+    on the same unsorted ids (f32 summation-order tolerance)."""
+    from two_tower_recommender_model_tpu.train.optimizer import (
+        device_sorted_fused_adagrad,
+    )
+
+    rng = np.random.default_rng(77)
+    m = 3 * C
+    ids = np.concatenate(
+        [rng.integers(0, n, size=m - m // 8), np.full(m // 8, n)]
+    ).astype(np.int32)
+    rng.shuffle(ids)  # deliberately NOT sorted
+    grads = rng.normal(size=(m, D)).astype(np.float32)
+    table = rng.normal(size=(n, D)).astype(np.float32)
+    acc = np.abs(rng.normal(size=(n,))).astype(np.float32)
+
+    got_t, got_a = device_sorted_fused_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(ids), jnp.asarray(grads),
+        0.05, 1e-10,
+    )
+    exp_t, exp_a = dense_rowwise_adagrad(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(ids), jnp.asarray(grads),
+        0.05, 1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(exp_a), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(exp_t), rtol=1e-5, atol=1e-6)
+
+
+def test_block_sorted_shapes_ok():
+    from two_tower_recommender_model_tpu.ops.block_sorted import (
+        block_sorted_shapes_ok,
+    )
+
+    assert block_sorted_shapes_ok(128, 262144)
+    assert block_sorted_shapes_ok(128, 256)   # c resolves to m
+    assert block_sorted_shapes_ok(256, 1024)
+    assert not block_sorted_shapes_ok(64, 262144)   # d % 128
+    assert not block_sorted_shapes_ok(128, 200)     # c=200 % 128
+    assert not block_sorted_shapes_ok(128, 1000)    # m % c

@@ -217,3 +217,42 @@ def test_sharded_compact_multi_step_matches_single_device(delta):
     # summation order differs slightly from the single-device program
     _assert_states_close(ref_state, unshard_train_state(sh_state, plan, mcfg),
                          atol=5e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_device_sort_kernel_unsorted_sharded_matches_single_device(mesh_shape):
+    """block_sorted_kernel WITHOUT sorted_feature (device-sort update mode):
+    UNSORTED batches, eligible f32 tables update through
+    device_sorted_fused_adagrad per shard (row-sharded) and per replica
+    (replicated); numerics match the single-device plain step."""
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=100, num_items=60, embedding_dim=128, layer_sizes=(32, 8),
+    )
+    ds = SyntheticClickstream(100, 60, seed=7)
+    feat = Featurizer(mcfg)
+    batches = [
+        jax.tree.map(np.asarray, feat(ds.sample(128, start=i))) for i in range(3)
+    ]  # NOT sorted
+    tcfg = cfg_lib.TrainConfig(
+        sparse_learning_rate=0.05, learning_rate=1e-3, block_sorted_kernel="float32",
+    )
+    ref_tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+
+    mesh = make_mesh(*mesh_shape)
+    plan = plan_sharding(mcfg, mesh.devices.size, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": REPLICATED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, ref_tcfg)
+
+    ref_state = state
+    ref_step = make_train_step(mcfg, ref_tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    _assert_states_close(ref_state, unshard_train_state(sh_state, plan, mcfg),
+                         rtol=1e-4, atol=1e-5)

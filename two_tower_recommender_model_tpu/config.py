@@ -197,13 +197,18 @@ class TrainConfig:
     # aggregation buffer for the sorted table's update (bf16 ~2.7x more on the
     # sorted scatter; duplicate-row grads accumulate at reduced precision).
     scatter_buffer_dtype: str = "float32"
-    # "off" | "float32" | "bfloat16": route the sorted feature's gather AND
-    # table update through the block-sorted one-hot MXU Pallas kernels
-    # (`ops/block_sorted.py`) instead of XLA gather/scatter. "float32" keeps
-    # exact gather rows and f32-accumulated aggregation (summation order may
-    # differ from the scatter path at the ulp level); "bfloat16" rounds the
-    # matmul operands for ~3x the MXU rate. Requires `sorted_feature` and a
-    # batch size divisible by 512. No-op for int8 tables.
+    # "off" | "float32" | "bfloat16": route table ops through the block-sorted
+    # one-hot MXU Pallas kernels (`ops/block_sorted.py`) instead of XLA
+    # gather/scatter. The `sorted_feature` table (if any) gets the block
+    # GATHER and a sort-free fused update; every OTHER eligible f32 table gets
+    # its UPDATE through a device-sort front-end (lax.sort + grad permute +
+    # the same fused kernel — measured 5.46 -> 2.0 ms for the flagship item
+    # table at bs=262k, tools/probe_item_paths.py), so no sorted_feature is
+    # required. "float32" keeps exact gather rows and f32-accumulated
+    # aggregation (summation order may differ from the scatter path at the
+    # ulp level); "bfloat16" rounds the matmul operands for ~3x the MXU rate.
+    # Tables with dim % 128 != 0, flat-id counts off the 512-chunk grid, or
+    # non-f32 storage fall back per-table. No-op for int8 tables.
     block_sorted_kernel: str = "off"
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1

@@ -242,6 +242,14 @@ def _check(n, d, m, r, c):
         raise ValueError(f"flat id count {m} must divide by chunk c={c}")
 
 
+def block_sorted_shapes_ok(d: int, m: int, c: int = 512) -> bool:
+    """True when ([M] ids, [M, D] grads) fit the kernels' tiling constraints
+    (mirrors `_check` with the default c=min(c, m) resolution) — the gate for
+    routing a table through the block kernels at trace time."""
+    c = min(c, m)
+    return d % 128 == 0 and c % 128 == 0 and m % c == 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("r", "c", "matmul_dtype", "interpret")
 )

@@ -38,6 +38,9 @@ from two_tower_recommender_model_tpu.data.featurizer import Batch
 from two_tower_recommender_model_tpu.models import losses as losses_lib
 from two_tower_recommender_model_tpu.models import two_tower
 from two_tower_recommender_model_tpu.models.metrics import auroc_update, mean_update
+from two_tower_recommender_model_tpu.ops.block_sorted import (
+    block_sorted_shapes_ok as _bs_shapes_ok,
+)
 from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS, FLAT_AXES, MODEL_AXIS
 from two_tower_recommender_model_tpu.parallel.planner import (
     COLUMN_SHARDED,
@@ -274,10 +277,14 @@ def make_sharded_lookup(mesh):
     return lookup
 
 
-def make_sharded_update(mesh, lr: float, eps: float):
+def make_sharded_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
     """Fused row-wise Adagrad on a row-sharded table. `row_g` is the per-slot
     gradient [B_loc, Lt, D] (already weight-scaled); each device applies only
-    the rows it owns, so every row is updated exactly once globally."""
+    the rows it owns, so every row is updated exactly once globally.
+
+    `bs_kernel != "off"` routes eligible f32 shards through the device-sort +
+    fused block-kernel front-end (`opt_lib.device_sorted_fused_adagrad`) — no
+    host sort needed, so it works for UNSORTED tables and multi-host runs."""
 
     @functools.partial(
         jax.shard_map,
@@ -299,15 +306,27 @@ def make_sharded_update(mesh, lr: float, eps: float):
         ok = (local >= 0) & (local < rows) & (w_all != 0)
         flat_ids = jnp.where(ok, local, rows).astype(jnp.int32).reshape(-1)
         flat_g = g_all.reshape(-1, g_all.shape[-1])
+        if (
+            bs_kernel != "off"
+            and table_shard.dtype == jnp.float32
+            and _bs_shapes_ok(flat_g.shape[-1], flat_ids.shape[0])
+        ):
+            return opt_lib.device_sorted_fused_adagrad(
+                table_shard, acc_shard, flat_ids, flat_g, lr, eps,
+                matmul_dtype=bs_kernel,
+            )
         return opt_lib.sparse_rowwise_adagrad(table_shard, acc_shard, flat_ids, flat_g, lr, eps)
 
     return update
 
 
-def make_replicated_update(mesh, lr: float, eps: float):
+def make_replicated_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
     """DDP-style update for replicated tables: all_gather the batch grads over
     data, run the identical sparse update on every device (deterministic, so
-    replicas stay bitwise in sync — no grad psum of a table-shaped buffer)."""
+    replicas stay bitwise in sync — no grad psum of a table-shaped buffer).
+    `bs_kernel != "off"`: eligible f32 tables take the device-sort + fused
+    block-kernel front-end (deterministic — stable sort — so replicas still
+    match bitwise)."""
 
     @functools.partial(
         jax.shard_map,
@@ -331,11 +350,17 @@ def make_replicated_update(mesh, lr: float, eps: float):
         n = table.shape[0]
         flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
         flat_g = g_all.reshape(-1, g_all.shape[-1])
-        upd = (
-            quantized_rowwise_adagrad if isinstance(table, QuantizedTable)
-            else opt_lib.sparse_rowwise_adagrad
-        )
-        return upd(table, acc, flat_ids, flat_g, lr, eps)
+        if isinstance(table, QuantizedTable):
+            return quantized_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
+        if (
+            bs_kernel != "off"
+            and table.dtype == jnp.float32
+            and _bs_shapes_ok(flat_g.shape[-1], flat_ids.shape[0])
+        ):
+            return opt_lib.device_sorted_fused_adagrad(
+                table, acc, flat_ids, flat_g, lr, eps, matmul_dtype=bs_kernel
+            )
+        return opt_lib.sparse_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
 
     return update
 
@@ -641,8 +666,9 @@ def make_sharded_train_step(
     bs_kernel = train_cfg.block_sorted_kernel
     if bs_kernel not in ("off", "float32", "bfloat16"):
         raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
-    if bs_kernel != "off" and sorted_table is None:
-        raise ValueError("block_sorted_kernel requires sorted_feature")
+    # bs_kernel without a sorted_feature = device-sort update mode: eligible
+    # f32 row-sharded/replicated/bucket tables update through
+    # `device_sorted_fused_adagrad` (works multi-host — no host sort needed)
     if sorted_table is not None:
         if jax.process_count() > 1:
             raise ValueError(
@@ -674,7 +700,8 @@ def make_sharded_train_step(
         block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
     )
     sharded_update = make_sharded_update(
-        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+        bs_kernel=bs_kernel,
     )
     sorted_update = sorted_rep_update = None
     if sorted_table is not None:
@@ -692,7 +719,8 @@ def make_sharded_train_step(
                 buffer_dtype=sorted_buf,
             )
     replicated_update = make_replicated_update(
-        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+        bs_kernel=bs_kernel,
     )
     column_updates = {
         t.name: make_column_update(

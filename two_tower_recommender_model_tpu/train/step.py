@@ -39,6 +39,9 @@ from two_tower_recommender_model_tpu.models.metrics import (
     mean_init,
     mean_update,
 )
+from two_tower_recommender_model_tpu.ops.block_sorted import (
+    block_sorted_shapes_ok as _block_shapes_ok,
+)
 from two_tower_recommender_model_tpu.ops.embedding_ops import row_grads_from_pooled
 from two_tower_recommender_model_tpu.train import optimizer as opt_lib
 
@@ -181,9 +184,10 @@ def make_train_step(
     bs_kernel = train_cfg.block_sorted_kernel
     if bs_kernel not in ("off", "float32", "bfloat16"):
         raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
-    if bs_kernel != "off":
-        if sorted_table is None:
-            raise ValueError("block_sorted_kernel requires sorted_feature")
+    # without a sorted_feature the kernels still apply to UPDATES via the
+    # device-sort front-end (`opt_lib.device_sorted_fused_adagrad`); the
+    # sorted table's block GATHER additionally needs the host sort
+    if bs_kernel != "off" and sorted_table is not None:
         if model_cfg.table_dtype_of(sorted_table) != "float32":
             raise ValueError(
                 f"block_sorted_kernel supports float32 tables only; "
@@ -259,6 +263,22 @@ def make_train_step(
                 # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k)
                 upd = functools.partial(
                     block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
+                )
+            elif (
+                bs_kernel != "off"
+                and not isinstance(state.tables[tname], QuantizedTable)
+                and model_cfg.table_dtype_of(tname) == "float32"
+                and _block_shapes_ok(model_cfg.table(tname).embedding_dim,
+                                     fids.shape[0])
+            ):
+                import functools
+
+                # UNSORTED tables (only one feature rides the host sort):
+                # device-sort + permute + the same fused kernel — measured
+                # 5.46 -> 2.0 ms for the item table at bs=262k
+                # (tools/probe_item_paths.py)
+                upd = functools.partial(
+                    opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
                 )
             elif tname == sorted_table and upd in (
                 opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
