@@ -96,3 +96,26 @@ def test_eval_step_accumulates():
     es = estep(state, es, batch)
     es = estep(state, es, batch)
     assert float(es.loss.count) == 64.0
+
+
+def test_explicit_sparse_update_overrides_block_kernels():
+    """An explicit `sparse_update` must win over block_sorted_kernel routing
+    (it silently lost to it once): a no-op update leaves every table and
+    accumulator untouched even with the kernels enabled."""
+    mcfg = cfg_lib.two_tower_model_config(num_users=40, num_items=25,
+                                          embedding_dim=128, layer_sizes=(16, 4))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3,
+                               block_sorted_kernel="float32")
+    ds = SyntheticClickstream(40, 25, seed=1)
+    batch = jax.tree.map(jnp.asarray, Featurizer(mcfg)(ds.sample(128)))
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    noop = lambda t, a, ids, g, lr, eps: (t, a)
+    step = make_train_step(mcfg, tcfg, dense_opt, sparse_update=noop, donate=False)
+    new_state, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    for name in state.tables:
+        np.testing.assert_array_equal(
+            np.asarray(new_state.tables[name]), np.asarray(state.tables[name]))
+        np.testing.assert_array_equal(
+            np.asarray(new_state.adagrad_acc[name]),
+            np.asarray(state.adagrad_acc[name]))

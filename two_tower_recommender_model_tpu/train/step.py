@@ -250,7 +250,12 @@ def make_train_step(
                 quantized_dense_rowwise_adagrad,
             )
 
-            if tname == sorted_table and bs_kernel != "off" and not isinstance(
+            if sparse_update is not None and not isinstance(
+                state.tables[tname], QuantizedTable
+            ):
+                # explicit override wins over the block-kernel routing
+                pass
+            elif tname == sorted_table and bs_kernel != "off" and not isinstance(
                 state.tables[tname], QuantizedTable
             ):
                 import functools
