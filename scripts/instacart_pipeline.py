@@ -58,6 +58,14 @@ def main():
     ap.add_argument("--softmax-temperature", type=float, default=1.0,
                     help="sampled_softmax logit temperature (tuned on the "
                          "smoke replica by examples/tune_retrieval_smoke.py)")
+    ap.add_argument("--block-sorted-kernel", default=None,
+                    choices=["off", "float32", "bfloat16"],
+                    help="pass-through to train.py (block-sorted MXU kernels)")
+    ap.add_argument("--wire-cache", action="store_true",
+                    help="train through a pre-encoded wire cache under "
+                         "<work>/wirecache (data/wirecache.py)")
+    ap.add_argument("--macro-batches", type=int, default=None,
+                    help="pass-through to train.py")
     ap.add_argument("--sorted-feature", default=None,
                     help="pass through to train.py (hinted-scatter + delta "
                          "wire fast paths)")
@@ -99,7 +107,13 @@ def main():
         "--seed", str(args.seed),
         "--runs-root", os.path.join(args.work, "runs"),
         "--export-dir", model_dir,
-    ] + (["--sorted-feature", args.sorted_feature] if args.sorted_feature else []))
+    ] + (["--sorted-feature", args.sorted_feature] if args.sorted_feature else [])
+      + (["--block-sorted-kernel", args.block_sorted_kernel]
+         if args.block_sorted_kernel else [])
+      + (["--wire-cache", os.path.join(args.work, "wirecache")]
+         if args.wire_cache else [])
+      + (["--macro-batches", str(args.macro_batches)]
+         if args.macro_batches is not None else []))
 
     run([
         py, os.path.join(SCRIPTS, "evaluate_retrieval.py"),

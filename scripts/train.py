@@ -155,6 +155,8 @@ def main():
         )
     if args.wire_format == "compact" and args.no_packed:
         raise SystemExit("--wire-format compact requires the packed path")
+    if args.wire_cache and args.no_packed:
+        raise SystemExit("--wire-cache requires the packed path (drop --no-packed)")
     featurizer = Featurizer(mcfg)
     host_index, num_hosts = per_host_loader_slice()
     n_devices = len(jax.devices())
@@ -403,13 +405,28 @@ def main():
                 cache_dir = os.path.join(
                     args.wire_cache,
                     f"host-{_jax.process_index()}-of-{_jax.process_count()}")
+            # dataset identity: a reused cache must have been built from the
+            # SAME shards at the SAME batch size (stale caches silently train
+            # old data otherwise)
+            wc_fp = {
+                "data_dir": os.path.abspath(args.data_dir),
+                "total_rows": train_loader.dataset.index.get("total_rows"),
+                "num_shards": len(train_loader.dataset.index.get("shards", [])),
+            }
             if not os.path.exists(os.path.join(cache_dir, "meta.json")):
                 train_loader.set_epoch(0)
-                meta = build_wire_cache(cache_dir, train_loader, packed_feat)
+                meta = build_wire_cache(cache_dir, train_loader, packed_feat,
+                                        fingerprint=wc_fp)
                 logging.info("wire cache built: %d batches (%d tail rows "
                              "dropped) -> %s", meta["num_batches"],
                              meta["dropped_tail_rows"], cache_dir)
-            wire_cache = WireCache(cache_dir, scheme=scheme_wc, seed=args.seed)
+            try:
+                wire_cache = WireCache(cache_dir, scheme=scheme_wc,
+                                       seed=args.seed,
+                                       batch_size=args.batch_size,
+                                       fingerprint=wc_fp)
+            except ValueError as e:
+                raise SystemExit(f"--wire-cache: {e}")
             if _jax.process_count() > 1:
                 # lockstep contract: every host must take the SAME number of
                 # steps per epoch — truncate to the global minimum batch count

@@ -137,3 +137,23 @@ def test_train_through_packed_loop_matches_dynamic(tmp_path, mcfg):
         s_cache.tables,
         s_dyn.tables,
     )
+
+
+def test_stale_cache_rejected(tmp_path, mcfg):
+    """A cache built at a different batch size or from a different dataset
+    (fingerprint) must be refused — stale caches silently trained old data
+    once."""
+    feat, scheme = _featurizer(mcfg)
+    build_wire_cache(str(tmp_path / "wc"), _source(4, 64), feat,
+                     fingerprint={"data_dir": "/a", "total_rows": 256})
+    WireCache(str(tmp_path / "wc"), scheme=scheme, batch_size=64,
+              fingerprint={"data_dir": "/a", "total_rows": 256})  # ok
+    with pytest.raises(ValueError, match="batch_size"):
+        WireCache(str(tmp_path / "wc"), scheme=scheme, batch_size=128)
+    with pytest.raises(ValueError, match="different dataset"):
+        WireCache(str(tmp_path / "wc"), scheme=scheme,
+                  fingerprint={"data_dir": "/b", "total_rows": 999})
+    # caches without a stored fingerprint (older builds) stay loadable
+    build_wire_cache(str(tmp_path / "wc2"), _source(4, 64), feat)
+    WireCache(str(tmp_path / "wc2"), scheme=scheme,
+              fingerprint={"data_dir": "/a"})

@@ -65,6 +65,7 @@ def build_wire_cache(
     featurizer,
     *,
     drop_ragged_tail: bool = True,
+    fingerprint: Mapping | None = None,
 ) -> dict:
     """Encode every batch of `column_batches` through `featurizer` (a
     `CompactFeaturizer`, including any inner sort) and store the resulting
@@ -128,6 +129,10 @@ def build_wire_cache(
         "dropped_tail_rows": dropped_rows,
         "planes": {name: shapes[name] for name in files},
         "scheme": _scheme_fingerprint(scheme),
+        # caller-supplied dataset identity (e.g. data dir + row counts) —
+        # checked at read time so a stale cache can't silently train old
+        # data or a different batch size
+        "fingerprint": json.loads(json.dumps(fingerprint)) if fingerprint else None,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -142,7 +147,8 @@ class WireCache:
     the one copy into the transfer buffer."""
 
     def __init__(self, path: str, scheme: CompactScheme | None = None,
-                 seed: int = 0):
+                 seed: int = 0, batch_size: int | None = None,
+                 fingerprint: Mapping | None = None):
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
@@ -155,6 +161,18 @@ class WireCache:
                     f"{path}: cache was built with a different wire scheme — "
                     "rebuild it for this model/config"
                 )
+        if batch_size is not None and int(self.meta["batch_size"]) != batch_size:
+            raise ValueError(
+                f"{path}: cache was built at batch_size="
+                f"{self.meta['batch_size']}, run wants {batch_size} — rebuild it"
+            )
+        if fingerprint is not None and self.meta.get("fingerprint") is not None:
+            want = json.loads(json.dumps(fingerprint))
+            if self.meta["fingerprint"] != want:
+                raise ValueError(
+                    f"{path}: cache was built from a different dataset "
+                    f"({self.meta['fingerprint']} != {want}) — rebuild it"
+                )
         self.num_batches = int(self.meta["num_batches"])
         self.batch_size = int(self.meta["batch_size"])
         self.seed = seed
@@ -166,9 +184,6 @@ class WireCache:
             self._planes[name] = np.memmap(
                 os.path.join(self.path, f"{name}.bin"), dtype=dtype, mode="r",
             ).reshape(self.num_batches, *shape)
-
-    def rows_per_epoch(self, host_count: int = 1) -> int:
-        return (self.num_batches // host_count) * self.batch_size
 
     def order(self, epoch: int) -> np.ndarray:
         """Seeded batch-order permutation for `epoch` (identical on every
