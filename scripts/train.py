@@ -76,6 +76,22 @@ def parse_args():
                          "the trailing partial batch is dropped. Requires the "
                          "packed path + compact wire; multi-host builds one "
                          "cache per process under DIR/host-N-of-M")
+    ap.add_argument("--wire-cache-order",
+                    choices=["auto", "loader", "rotate", "shuffle"],
+                    default="auto",
+                    help="batch order per wire-cache epoch. 'auto' (default): "
+                         "loader order on a fresh generation (bitwise-"
+                         "identical to dynamic training), seeded rotation on "
+                         "generation reuse. A uniform 'shuffle' measurably "
+                         "costs recall at full scale (0.222-0.227 vs 0.249; "
+                         "BENCH_FULL_SCALE.md)")
+    ap.add_argument("--wire-cache-generations", type=int, default=1,
+                    help="number of distinct batch compositions to pre-encode "
+                         "(DIR/gen-N, one per loader-epoch row shuffle), cycled "
+                         "across training epochs — a single frozen composition "
+                         "measurably overfits multi-epoch runs (recall@100 "
+                         "0.2246 vs 0.2487 at full scale, 3 epochs); set to "
+                         "the epoch count for full row-level freshness")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -413,20 +429,29 @@ def main():
                 "total_rows": train_loader.dataset.index.get("total_rows"),
                 "num_shards": len(train_loader.dataset.index.get("shards", [])),
             }
-            if not os.path.exists(os.path.join(cache_dir, "meta.json")):
-                train_loader.set_epoch(0)
-                meta = build_wire_cache(cache_dir, train_loader, packed_feat,
-                                        fingerprint=wc_fp)
-                logging.info("wire cache built: %d batches (%d tail rows "
-                             "dropped) -> %s", meta["num_batches"],
-                             meta["dropped_tail_rows"], cache_dir)
-            try:
-                wire_cache = WireCache(cache_dir, scheme=scheme_wc,
-                                       seed=args.seed,
-                                       batch_size=args.batch_size,
-                                       fingerprint=wc_fp)
-            except ValueError as e:
-                raise SystemExit(f"--wire-cache: {e}")
+            # N generations = N distinct batch compositions (one per loader
+            # epoch's row shuffle), cycled across training epochs — the
+            # measured quality cost of a single frozen composition is real
+            # (data/wirecache.py docstring); N == epochs restores row-level
+            # freshness at N one-time builds
+            wire_caches = []
+            for g in range(max(1, args.wire_cache_generations)):
+                gdir = os.path.join(cache_dir, f"gen-{g}")
+                if not os.path.exists(os.path.join(gdir, "meta.json")):
+                    train_loader.set_epoch(g)
+                    meta = build_wire_cache(gdir, train_loader, packed_feat,
+                                            fingerprint=wc_fp)
+                    logging.info("wire cache built: %d batches (%d tail rows "
+                                 "dropped) -> %s", meta["num_batches"],
+                                 meta["dropped_tail_rows"], gdir)
+                try:
+                    wire_caches.append(WireCache(
+                        gdir, scheme=scheme_wc, seed=args.seed,
+                        batch_size=args.batch_size, fingerprint=wc_fp))
+                except ValueError as e:
+                    raise SystemExit(f"--wire-cache: {e}")
+            wire_cache = wire_caches[0]
+            wc_limit = min(c.num_batches for c in wire_caches)
             if _jax.process_count() > 1:
                 # lockstep contract: every host must take the SAME number of
                 # steps per epoch — truncate to the global minimum batch count
@@ -434,23 +459,30 @@ def main():
                 from jax.experimental import multihost_utils as _mhu
 
                 counts = _np.asarray(_mhu.process_allgather(
-                    _np.asarray([wire_cache.num_batches]), tiled=True))
+                    _np.asarray([wc_limit]), tiled=True))
                 wc_limit = int(counts.min())
-                if wc_limit != wire_cache.num_batches:
-                    logging.info("wire cache: truncating %d -> %d batches "
-                                 "(global min across hosts)",
-                                 wire_cache.num_batches, wc_limit)
+            if wc_limit != wire_cache.num_batches:
+                logging.info("wire cache: truncating %d -> %d batches "
+                             "(global min across hosts/generations)",
+                             wire_cache.num_batches, wc_limit)
 
         def train_epoch_fn(state, epoch):
             if wire_cache is not None:
                 # clamp the macro to the cache size so small datasets still
                 # take the macro fast path; leftovers (< one macro) train
                 # batch-by-batch through tail_step rather than being dropped
-                nb = wc_limit if wc_limit is not None else wire_cache.num_batches
-                macro_eff = max(1, min(args.macro_batches, nb))
+                macro_eff = max(1, min(args.macro_batches, wc_limit))
+                cache = wire_caches[epoch % len(wire_caches)]
+                mode = args.wire_cache_order
+                if mode == "auto":
+                    # fresh generation -> loader order (replays the dynamic
+                    # path bitwise); reuse -> rotate (phase variety without
+                    # the uniform-shuffle recall cost)
+                    mode = "loader" if epoch < len(wire_caches) else "rotate"
                 return train_one_epoch_packed(
                     state, multi,
-                    wire_cache.batches(epoch, limit_batches=wc_limit),
+                    cache.batches(epoch, limit_batches=wc_limit,
+                                  order_mode=mode),
                     lambda cb: cb,
                     macro=macro_eff, train_cfg=tcfg, tail_step=tail_step,
                     eval_step=eval_step,

@@ -429,8 +429,8 @@ def test_cli_multihost_wire_cache(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
     # one cache per process, each from that host's loader slice
-    assert os.path.exists(str(tmp_path / "wc" / "host-0-of-2" / "meta.json"))
-    assert os.path.exists(str(tmp_path / "wc" / "host-1-of-2" / "meta.json"))
+    assert os.path.exists(str(tmp_path / "wc" / "host-0-of-2" / "gen-0" / "meta.json"))
+    assert os.path.exists(str(tmp_path / "wc" / "host-1-of-2" / "gen-0" / "meta.json"))
     assert "wire cache built" in outs[0]
     results = [line for line in outs[0].splitlines() if "'test_auroc'" in line]
     assert results, outs[0][-2000:]

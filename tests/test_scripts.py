@@ -239,7 +239,7 @@ def test_cli_wire_cache_build_then_reuse(csv_dir, tmp_path):
     # every cached batch must actually train (macro clamp + tail_step; a
     # cache smaller than one macro regressed to 0 steps once)
     assert "'train_steps': 0" not in r.stdout, r.stdout[-2000:]
-    assert os.path.exists(os.path.join(wc, "meta.json"))
+    assert os.path.exists(os.path.join(wc, "gen-0", "meta.json"))
 
     r = _run(base + ["--runs-root", str(tmp_path / "runs2")])
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])

@@ -157,3 +157,23 @@ def test_stale_cache_rejected(tmp_path, mcfg):
     build_wire_cache(str(tmp_path / "wc2"), _source(4, 64), feat)
     WireCache(str(tmp_path / "wc2"), scheme=scheme,
               fingerprint={"data_dir": "/a"})
+
+
+def test_order_modes(tmp_path, mcfg):
+    feat, scheme = _featurizer(mcfg)
+    build_wire_cache(str(tmp_path / "wc"), _source(10, 8), feat)
+    cache = WireCache(str(tmp_path / "wc"), scheme=scheme)
+    np.testing.assert_array_equal(cache.order(3, "loader"), np.arange(10))
+    rot = cache.order(3, "rotate")
+    assert sorted(rot) == list(range(10))
+    # a rotation: consecutive differences are 1 mod n
+    assert set(np.diff(rot) % 10) <= {1}
+    assert not np.array_equal(cache.order(3, "rotate"), cache.order(4, "rotate"))
+    np.testing.assert_array_equal(cache.order(3, "rotate"),
+                                  WireCache(str(tmp_path / "wc")).order(3, "rotate"))
+    with pytest.raises(ValueError, match="order mode"):
+        cache.order(0, "bogus")
+    got = [np.asarray(b.wire) for b in cache.batches(0, order_mode="loader")]
+    want = [feat(c) for c in _source(10, 8)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w.wire))

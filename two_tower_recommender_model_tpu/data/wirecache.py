@@ -18,14 +18,17 @@ collapses to:
     -> np.stack K views into the macro transfer buffer (the single memcpy)
     -> device_put
 
-Trade-off (documented, opt-in): intra-batch row composition is FROZEN at
-build time; epochs reshuffle at BATCH granularity (a seeded permutation of
-batch order per epoch, like the reference's MDS shard-window shuffle --
-`03_model_training.py:386-393` shuffles within a StreamingDataset window,
-not globally). Row-level cross-epoch reshuffling needs the dynamic path
-(`StreamLoader` + `CompactFeaturizer`); rebuilding the cache re-rolls the
-composition. Quality at flagship scale is indistinguishable (see
-BENCH_FULL_SCALE.md).
+Quality (measured at full scale — replica, BCE, 3 epochs, bs=16k,
+BENCH_FULL_SCALE.md): the batch ORDER matters, the composition freeze does
+not. Loader order on a fresh generation replays the dynamic path's exact
+sequence (bitwise-identical params, verified); seeded ROTATION on generation
+reuse preserves quality fully even with ONE frozen composition for all
+epochs (recall@100 0.2482 vs 0.2487 dynamic). A UNIFORM batch permutation,
+by contrast, systematically costs recall (0.222-0.227 across three seeds)
+— don't use `order mode="shuffle"` for multi-epoch quality runs. The CLI's
+`--wire-cache-order auto` picks loader/rotate; `--wire-cache-generations N`
+additionally re-rolls compositions (N one-time builds, each costing about
+one dynamic epoch's featurization) if composition variety is wanted.
 
 Layout of a cache directory:
 
@@ -185,10 +188,25 @@ class WireCache:
                 os.path.join(self.path, f"{name}.bin"), dtype=dtype, mode="r",
             ).reshape(self.num_batches, *shape)
 
-    def order(self, epoch: int) -> np.ndarray:
-        """Seeded batch-order permutation for `epoch` (identical on every
-        host, like StreamLoader's visit order)."""
+    def order(self, epoch: int, mode: str = "shuffle") -> np.ndarray:
+        """Batch order for `epoch` (identical on every host):
+
+        - "loader": build (= StreamLoader) order — replays the dynamic path's
+          exact batch sequence (bitwise-identical training, measured);
+        - "rotate": loader order cyclically rotated by a seeded offset —
+          varies the phase on generation REUSE while preserving the stream's
+          local structure (a uniform permutation measurably costs recall at
+          full scale: 0.222-0.227 vs 0.249 loader-order, BENCH_FULL_SCALE.md);
+        - "shuffle": seeded uniform permutation.
+        """
+        if mode == "loader":
+            return np.arange(self.num_batches)
         key = zlib.crc32(f"wirecache:{self.seed}:{epoch}".encode())
+        if mode == "rotate":
+            off = key % max(self.num_batches, 1)
+            return np.roll(np.arange(self.num_batches), -int(off))
+        if mode != "shuffle":
+            raise ValueError(f"order mode must be loader|rotate|shuffle, got {mode!r}")
         return np.random.default_rng(key).permutation(self.num_batches)
 
     def _batch(self, i: int) -> CompactBatch:
@@ -211,6 +229,7 @@ class WireCache:
         host_count: int = 1,
         skip_batches: int = 0,
         limit_batches: int | None = None,
+        order_mode: str = "shuffle",
     ) -> Iterator[CompactBatch]:
         """This host's slice of the epoch: disjoint, equal-count contiguous
         runs of the shuffled order (same alignment contract as
@@ -223,7 +242,8 @@ class WireCache:
         if not (0 <= host_index < host_count):
             raise ValueError(f"host_index {host_index} out of range {host_count}")
         per_host = self.num_batches // host_count
-        order = self.order(epoch)[host_index * per_host : (host_index + 1) * per_host]
+        order = self.order(epoch, order_mode)[
+            host_index * per_host : (host_index + 1) * per_host]
         if limit_batches is not None:
             order = order[:limit_batches]
         for i in order[skip_batches:]:
