@@ -76,6 +76,11 @@ def parse_args():
                          "the trailing partial batch is dropped. Requires the "
                          "packed path + compact wire; multi-host builds one "
                          "cache per process under DIR/host-N-of-M")
+    ap.add_argument("--select-best", default=None, metavar="METRIC",
+                    help="keep the state of the best epoch by this val metric "
+                         "(e.g. val_auroc; names containing 'loss' minimize) — "
+                         "the test eval and --export-dir use it instead of the "
+                         "final epoch")
     ap.add_argument("--wire-cache-order",
                     choices=["auto", "loader", "rotate", "shuffle"],
                     default="auto",
@@ -452,6 +457,16 @@ def main():
                     raise SystemExit(f"--wire-cache: {e}")
             wire_cache = wire_caches[0]
             wc_limit = min(c.num_batches for c in wire_caches)
+            if args.loss == "sampled_softmax" and len(wire_caches) < args.epochs:
+                # recall stays at parity (measured 0.2924 vs 0.2942), but the
+                # in-batch objective's val AUROC drifts harder when negative
+                # co-occurrence sets repeat — don't read AUROC as quality here
+                logging.warning(
+                    "wire cache: %d generation(s) < %d epochs with an in-batch "
+                    "loss — composition reuse accelerates val-AUROC calibration "
+                    "drift (retrieval recall unaffected; BENCH_FULL_SCALE.md). "
+                    "Use --wire-cache-generations %d for fresh compositions.",
+                    len(wire_caches), args.epochs, args.epochs)
             if _jax.process_count() > 1:
                 # lockstep contract: every host must take the SAME number of
                 # steps per epoch — truncate to the global minimum batch count
@@ -509,6 +524,7 @@ def main():
         logger=logger, checkpoint_fn=checkpoint_fn, sharding=sharding,
         pad_multiple=n_devices if sharded else None, pad_to=eval_pad_to,
         start_epoch=start_epoch, train_epoch_fn=train_epoch_fn,
+        select_best=args.select_best,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

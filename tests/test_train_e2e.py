@@ -97,3 +97,45 @@ def test_determinism_same_seed():
     t2, l2 = run()
     np.testing.assert_array_equal(t1, t2)
     assert l1 == l2
+
+
+def test_select_best_returns_best_epoch_state():
+    """select_best: the returned state is the BEST-val-epoch state (compared
+    against per-epoch snapshots captured via checkpoint_fn on an identical
+    run), donation-safe, and the test metrics come from it."""
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(epochs=3, limit_val_batches=2, limit_test_batches=2,
+                               checkpoint_every_epochs=1)
+    ds = SyntheticClickstream(50, 30, seed=0)
+    feat = Featurizer(mcfg)
+
+    def run(select_best, snapshots=None):
+        state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+        tstep = make_train_step(mcfg, tcfg, dense_opt)
+        estep = make_eval_step(mcfg, tcfg)
+        ckpt = None
+        if snapshots is not None:
+            def ckpt(s, epoch):
+                snapshots.append(jax.tree.map(lambda x: np.asarray(x), s))
+        return train_val_test(
+            state, tstep, estep, mcfg, tcfg, feat,
+            train_batches_factory=lambda ep: ds.batches(64, 6, split=f"e{ep}"),
+            val_batches_factory=lambda: ds.batches(64, 4, split="val"),
+            test_batches_factory=lambda: ds.batches(64, 4, split="test"),
+            checkpoint_fn=ckpt, select_best=select_best,
+        )
+
+    snaps = []
+    _, ref_results = run(None, snaps)
+    assert len(snaps) == 3
+    state, results = run("val_auroc")
+    assert "best_epoch" in results
+    best = int(results["best_epoch"])
+    for name in state.tables:
+        np.testing.assert_array_equal(
+            np.asarray(state.tables[name]), snaps[best].tables[name])
+    # with identical training, test metrics differ from the final-epoch run
+    # unless the final epoch IS the best
+    if best != 2:
+        assert results["test_auroc"] != ref_results["test_auroc"]

@@ -133,6 +133,7 @@ def train_val_test(
     pad_to: int | None = None,
     start_epoch: int = 0,
     train_epoch_fn: Callable | None = None,
+    select_best: str | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     """`start_epoch` supports resume: epochs [start_epoch, epochs) run, so a
     run restored from a mid-training checkpoint continues instead of
@@ -140,8 +141,22 @@ def train_val_test(
 
     `train_epoch_fn(state, epoch) -> (state, stats)` swaps the inner epoch
     implementation (e.g. a `train_one_epoch_packed` closure) while keeping the
-    baseline-eval / per-epoch-val / checkpoint orchestration here."""
+    baseline-eval / per-epoch-val / checkpoint orchestration here.
+
+    `select_best` names a per-epoch val metric (e.g. "val_auroc"; a name
+    containing "loss" means lower-is-better): the state of the BEST epoch is
+    kept (on-device copy — donation invalidates the live buffers next epoch),
+    the final test eval runs on it, and it is what's returned — the
+    early-stopping/export-best role of the reference's Composer
+    `save_folder`+`eval_interval` retention (`pytorch-model-training.py:
+    563-611`)."""
     results: dict[str, float] = {}
+    best_state, best_metric, best_epoch = None, None, None
+
+    def _improved(val):
+        if best_metric is None:
+            return True
+        return val < best_metric if "loss" in select_best else val > best_metric
 
     metrics = evaluate(
         state, eval_step, val_batches_factory(), featurizer,
@@ -172,7 +187,17 @@ def train_val_test(
             logger.log_metrics({**stats, **metrics, "epoch": epoch}, step=int(state.step))
         if checkpoint_fn is not None and (epoch + 1) % train_cfg.checkpoint_every_epochs == 0:
             checkpoint_fn(state, epoch)
+        if select_best is not None and _improved(metrics[select_best]):
+            import jax
 
+            best_metric, best_epoch = metrics[select_best], epoch
+            best_state = jax.tree.map(lambda x: x.copy(), state)
+
+    if best_state is not None:
+        log.info("select_best: epoch %d (%s=%.5f)", best_epoch, select_best,
+                 best_metric)
+        results["best_epoch"] = float(best_epoch)
+        state = best_state
     metrics = evaluate(
         state, eval_step, test_batches_factory(), featurizer,
         train_cfg.limit_test_batches, "test", sharding, pad_multiple, pad_to,
