@@ -342,8 +342,34 @@ def main():
                     CompactFeaturizer, CompactScheme, batch_from_compact,
                 )
 
+                delta_feat, segs = args.sorted_feature, 1
+                if _jax.process_count() > 1 and delta_feat is None:
+                    # multi-host: the step's sorted fast paths need a GLOBAL
+                    # sort (unavailable), but the WIRE doesn't — each host
+                    # sorts its own slice (loss-invariant) and delta-encodes
+                    # it as one segment; the decode cumsum resets at process
+                    # boundaries (CompactScheme.delta_segments)
+                    from two_tower_recommender_model_tpu.train.step import (
+                        auto_sorted_feature,
+                    )
+
+                    delta_feat = auto_sorted_feature(mcfg)
+                    if delta_feat is not None:
+                        segs = _jax.process_count()
+                        if train_loader.dataset.index.get("packed"):
+                            packed_feat = PrepackedFeaturizer.for_dataset(
+                                train_loader.dataset, mcfg,
+                                sort_feature=delta_feat)
+                        else:
+                            packed_feat = PackedFeaturizer(
+                                mcfg, pack_label=True, sort_feature=delta_feat)
+                        pl = packed_feat.pack_label
+                        logging.info(
+                            "multi-host delta wire: per-host sort by %s "
+                            "(%d segments)", delta_feat, segs)
                 scheme = CompactScheme.from_model(
-                    mcfg, pack_label=pl, delta_feature=args.sorted_feature)
+                    mcfg, pack_label=pl, delta_feature=delta_feat,
+                    delta_segments=segs)
                 dense_flag = bool(getattr(packed_feat, "dense", False))
                 packed_feat = CompactFeaturizer(packed_feat, scheme)
                 multi = make_sharded_compact_multi_step(

@@ -396,3 +396,51 @@ def test_compact_roundtrip_fuzz(seed):
                                       np.asarray(exp.features[name].mask), err_msg=name)
     if pack_label:
         np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(exp.labels))
+
+
+@pytest.mark.parametrize("pack_label", [True, False])
+def test_delta_segments_decode_bit_identical(rng, pack_label):
+    """delta_segments=S: S per-slice-sorted encodes concatenated along the
+    batch axis decode to exactly the concat of the per-slice unpack_batch
+    outputs (the multi-host assembly layout — cumsum resets per segment,
+    exception positions segment-relative)."""
+    mc = flagship_cfg()
+    S, b_loc = 4, 512
+    feat = PackedFeaturizer(mc, pack_label=pack_label, sort_feature="user_id")
+    scheme = CompactScheme.from_model(mc, pack_label=pack_label,
+                                      delta_feature="user_id",
+                                      delta_segments=S)
+    assert scheme.delta_capacity % 64 == 0
+    ds = SyntheticClickstream(206_209, 49_688, seed=11)
+    slices, cbs, exps = [], [], []
+    for h in range(S):
+        cols = ds.sample(b_loc, start=1000 * h)
+        if h == 1:
+            cols["user_id"][:9] = 0  # missing ids in one slice
+        pb = feat(cols)
+        cbs.append(compact_from_packed(pb, scheme))
+        exps.append(unpack_batch(jax.tree.map(jnp.asarray, pb), mc,
+                                 pack_label=pack_label))
+    # assemble like make_array_from_process_local_data: wire/rem concat on
+    # the batch axis, sidecars+labels concat on axis 0
+    from two_tower_recommender_model_tpu.data.compact import CompactBatch
+    glob = CompactBatch(
+        wire=np.concatenate([c.wire for c in cbs], axis=-1),
+        rem=(np.concatenate([c.rem for c in cbs], axis=-1)
+             if cbs[0].rem is not None else None),
+        labels=np.concatenate([c.labels for c in cbs]),
+        dense=None, weights=None,
+        delta_pos=np.concatenate([c.delta_pos for c in cbs]),
+        delta_extra=np.concatenate([c.delta_extra for c in cbs]),
+    )
+    got = batch_from_compact(jax.tree.map(jnp.asarray, glob), mc, scheme)
+    for name in exps[0].features:
+        np.testing.assert_array_equal(
+            np.asarray(got.features[name].ids),
+            np.concatenate([np.asarray(e.features[name].ids) for e in exps]))
+        np.testing.assert_array_equal(
+            np.asarray(got.features[name].mask),
+            np.concatenate([np.asarray(e.features[name].mask) for e in exps]))
+    np.testing.assert_array_equal(
+        np.asarray(got.labels),
+        np.concatenate([np.asarray(e.labels) for e in exps]))

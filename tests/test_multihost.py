@@ -349,8 +349,9 @@ def test_two_process_compact_wire_matches_single_process(tmp_path):
     """The COMPACT wire (bit-planed, batch axis LAST) across 2 real OS
     processes: per-host plane slices assemble via
     make_array_from_process_local_data against the shardings PYTREE, and the
-    sharded compact scan must reproduce single-process training. (The delta
-    slot stays single-process — per-host sorts don't merge.)"""
+    sharded compact scan must reproduce single-process training. (For the
+    delta slot across processes see test_two_process_delta_wire_* —
+    per-host sorts encode independent segments.)"""
     port = _free_port()
     worker_py = tmp_path / "worker_compact.py"
     worker_py.write_text(WORKER_COMPACT)
@@ -438,3 +439,117 @@ def test_cli_multihost_wire_cache(tmp_path):
     assert parsed["train_steps"] > 0, parsed
     for key in ("baseline_val_auroc", "val_loss", "val_auroc", "test_loss", "test_auroc"):
         assert np.isfinite(parsed[key]), (key, parsed)
+
+
+WORKER_DELTA = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from two_tower_recommender_model_tpu.parallel.launch import (
+    initialize_multi_host, per_host_loader_slice)
+initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import SyntheticClickstream
+from two_tower_recommender_model_tpu.data.compact import CompactFeaturizer, CompactScheme
+from two_tower_recommender_model_tpu.data.device_featurizer import PackedFeaturizer
+from two_tower_recommender_model_tpu.parallel import (
+    compact_macro_shardings_for_scheme, make_mesh, make_sharded_compact_multi_step,
+    plan_sharding, shard_train_state)
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+from two_tower_recommender_model_tpu.train.pipeline import device_put_batch
+from two_tower_recommender_model_tpu.train.step import create_train_state, stack_batches
+
+mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                      layer_sizes=(16, 8))
+tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+mesh = make_mesh(4, 1)
+plan = plan_sharding(mcfg, 4, force={"t_user_id": ROW_SHARDED,
+                                     "t_product_id": ROW_SHARDED})
+state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+state = shard_train_state(state, plan, mesh)
+# per-host sort + per-segment delta: each process encodes its sorted slice
+scheme = CompactScheme.from_model(mcfg, pack_label=True,
+                                  delta_feature="user_id", delta_segments=2)
+multi = make_sharded_compact_multi_step(mcfg, tcfg, dense_opt, mesh, plan, scheme,
+                                        donate=False)
+
+ds = SyntheticClickstream(64, 40, seed=9)
+cf = CompactFeaturizer(
+    PackedFeaturizer(mcfg, pack_label=True, sort_feature="user_id"), scheme)
+host_index, num_hosts = per_host_loader_slice()
+B, K = 32, 3
+local = []
+for i in range(K):
+    cols = ds.sample(B, start=i)
+    if i == 1:
+        cols["user_id"][:5] = 0  # missing ids exercise the N+1 sentinel
+    lo = host_index * (B // num_hosts)
+    local.append(cf({k: v[lo : lo + B // num_hosts] for k, v in cols.items()}))
+mb = stack_batches(local)
+sh = compact_macro_shardings_for_scheme(mesh, scheme, batch_size=B)
+mb = device_put_batch(mb, sh)
+state, out = multi(state, mb)
+
+loss = float(jax.device_get(out["loss"][-1]))
+gathered = unshard_train_state(state, plan, mcfg)
+if pid == 0:
+    np.savez(os.path.join(out_dir, "result_delta.npz"),
+             loss=loss, t_user=gathered.tables["t_user_id"],
+             t_item=gathered.tables["t_product_id"])
+print(f"worker {pid} done loss={loss}", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_delta_wire_matches_single_process(tmp_path):
+    """Per-host-sorted DELTA wire across 2 real OS processes: each process
+    delta-encodes its own sorted slice (one segment), the [S*K] exception
+    sidecars assemble across processes, and the segment-reset decode trains
+    to the single-process result (row order within host slices differs ->
+    f32 summation-order tolerance; loss is row-permutation-invariant)."""
+    port = _free_port()
+    worker_py = tmp_path / "worker_delta.py"
+    worker_py.write_text(WORKER_DELTA)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+    result = np.load(tmp_path / "result_delta.npz")
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ds = SyntheticClickstream(64, 40, seed=9)
+    feat = Featurizer(mcfg)
+    for i in range(3):
+        cols = ds.sample(32, start=i)
+        if i == 1:
+            cols["user_id"][:5] = 0
+        state, out = step(state, jax.tree.map(jnp.asarray, feat(cols)))
+
+    np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(result["t_user"], np.asarray(state.tables["t_user_id"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
+                               rtol=1e-4, atol=1e-6)

@@ -98,12 +98,19 @@ class CompactScheme:
     whole_bytes: int  # W8
     rem_bits_total: int  # R (remainder bits per example; 0 = no rem buffer)
     delta_feature: str | None = None  # host-sorted slot shipped as uint8 deltas
-    delta_capacity: int = 0  # K: static exception-array length
+    delta_capacity: int = 0  # K: static exception-array length (PER SEGMENT)
+    # number of independently-sorted contiguous batch segments (1 = the whole
+    # batch is one host-sorted stream; H = multi-host, each process sorts and
+    # delta-encodes its own slice — the decode cumsum resets at segment
+    # boundaries). Segment boundaries must align with the assembled global
+    # batch's per-process slices.
+    delta_segments: int = 1
 
     @classmethod
     def from_model(cls, model_cfg: ModelConfig, pack_label: bool = True,
                    bit_pack: bool = True,
-                   delta_feature: str | None = None) -> "CompactScheme":
+                   delta_feature: str | None = None,
+                   delta_segments: int = 1) -> "CompactScheme":
         """`bit_pack=False` rounds every slot up to whole bytes (no remainder
         buffer) — for callers that can't guarantee B % 8 == 0.
 
@@ -113,7 +120,13 @@ class CompactScheme:
         DELTAS plus a fixed [K]-exception sidecar for deltas > 255. Since the
         deltas of a sorted sequence sum to <= N+1, at most (N+1)//256
         exceptions can exist, so K is a static guarantee, not a heuristic.
-        The flagship 19-bit user slot drops to 9 bits (8 delta + 1 label)."""
+        The flagship 19-bit user slot drops to 9 bits (8 delta + 1 label).
+
+        `delta_segments=H` declares the batch as H per-process-sorted slices
+        (multi-host: every host encodes its own slice; positions in the
+        exception sidecar are segment-relative). K is then rounded up to a
+        multiple of 64 so the assembled [H*K] sidecar divides evenly over
+        device meshes."""
         plans: list[_SlotPlan] = []
         byte_cursor = 0
         rem_cursor = 0
@@ -135,6 +148,8 @@ class CompactScheme:
                     rem = (1 if has_label else 0) if bit_pack else 0
                     nbytes = 1 if bit_pack or not has_label else 2
                     delta_cap = (n + 1) // 256 + 2
+                    if delta_segments > 1:
+                        delta_cap = -(-delta_cap // 64) * 64
                     plans.append(_SlotPlan(
                         feature=fc.name, sub=sub, slot_off=slot_off,
                         num_embeddings=n, bits=8 + (1 if has_label else 0),
@@ -168,7 +183,8 @@ class CompactScheme:
         if rem_cursor and 8 * rem_cursor > 32:
             # the per-8-example remainder group must fit an int32; fall back
             return cls.from_model(model_cfg, pack_label, bit_pack=False,
-                                  delta_feature=delta_feature)
+                                  delta_feature=delta_feature,
+                                  delta_segments=delta_segments)
         return cls(
             slots=tuple(plans),
             pack_label=pack_label,
@@ -176,6 +192,7 @@ class CompactScheme:
             rem_bits_total=rem_cursor,
             delta_feature=delta_feature,
             delta_capacity=delta_cap,
+            delta_segments=delta_segments,
         )
 
     @property
@@ -271,8 +288,23 @@ def batch_from_compact(cb: CompactBatch, model_cfg: ModelConfig,
     for sp in scheme.slots:
         if sp.delta:
             d = wire[sp.byte_start].astype(jnp.int32)
-            d = d.at[cb.delta_pos].add(cb.delta_extra, mode="drop")
-            k = jnp.cumsum(d)
+            s = scheme.delta_segments
+            if s > 1:
+                # per-process-sorted slices: exception positions are segment-
+                # relative ([S*K] assembled sidecar) and the cumsum resets at
+                # segment boundaries (reshape keeps it GSPMD-partitionable —
+                # segment edges align with per-process batch slices)
+                seg = b // s
+                kcap = scheme.delta_capacity
+                pos = (cb.delta_pos.reshape(s, kcap)
+                       + jnp.arange(s, dtype=jnp.int32)[:, None] * seg)
+                # padding entries carry extra=0 at each segment's base — a
+                # harmless += 0
+                d = d.at[pos.reshape(-1)].add(cb.delta_extra, mode="drop")
+                k = jnp.cumsum(d.reshape(s, seg), axis=1).reshape(b)
+            else:
+                d = d.at[cb.delta_pos].add(cb.delta_extra, mode="drop")
+                k = jnp.cumsum(d)
             n = sp.num_embeddings
             v = jnp.where(k == n + 1, 0, k)
             if sp.has_label:

@@ -888,11 +888,17 @@ def make_sharded_compact_multi_step(
     along the data-sharded batch axis for free; a delta-encoded sorted slot's
     cumsum reconstruction spans the batch axis, which XLA partitions with a
     small prefix collective. Place payloads with `compact_macro_shardings`.
-    Single-process only when the scheme has a delta slot (global sort)."""
+    A delta slot needs either a single process (global sort) or
+    `scheme.delta_segments == process_count` (per-process sorts; the cumsum
+    resets at process-slice boundaries)."""
     from two_tower_recommender_model_tpu.data.compact import batch_from_compact
 
-    if scheme.delta_feature is not None and jax.process_count() > 1:
-        raise ValueError("delta wire requires a single process (global sort)")
+    if (scheme.delta_feature is not None and jax.process_count() > 1
+            and scheme.delta_segments != jax.process_count()):
+        raise ValueError(
+            "delta wire across processes needs CompactScheme.from_model("
+            f"..., delta_segments={jax.process_count()}) — got "
+            f"{scheme.delta_segments}")
     core = make_sharded_train_step(
         model_cfg, train_cfg, dense_opt, mesh, plan, donate=False, jit=False
     )
@@ -970,8 +976,12 @@ def compact_macro_shardings_for_scheme(
         labels=rep if labels_packed else d(DATA_AXIS),
         dense=d(DATA_AXIS, None) if dense else None,
         weights=d(DATA_AXIS) if weights else None,
-        delta_pos=rep if scheme.delta_feature is not None else None,
-        delta_extra=rep if scheme.delta_feature is not None else None,
+        # per-segment sidecars assemble [S*K] across processes (positions are
+        # segment-relative); single-segment sidecars replicate
+        delta_pos=(None if scheme.delta_feature is None
+                   else d(DATA_AXIS) if scheme.delta_segments > 1 else rep),
+        delta_extra=(None if scheme.delta_feature is None
+                     else d(DATA_AXIS) if scheme.delta_segments > 1 else rep),
     )
 
 
