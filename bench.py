@@ -240,7 +240,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
     }
 
 
-def measure_h2d_health() -> dict:
+def measure_h2d_health(mb_payload: float = 8.0) -> dict:
     """Tunnel preflight: one 8MB H2D put + value fetch, so every recorded
     bench carries the wire condition it ran under (the axon tunnel degrades
     to ~20-80 MB/s under contention vs ~1.4 GB/s healthy — a 3-5x swing on
@@ -249,7 +249,9 @@ def measure_h2d_health() -> dict:
     import jax
 
     rng = np.random.default_rng(0)
-    payload = rng.integers(0, 1 << 30, size=(2 << 20,), dtype=np.int32)  # 8MB
+    payload = rng.integers(0, 1 << 30,
+                           size=(max(int(mb_payload * 1e6) // 4, 1),),
+                           dtype=np.int32)
     jax.device_put(np.ones(8, np.float32)).block_until_ready()  # warm path
     t0 = time.perf_counter()
     dev = jax.device_put(payload)
@@ -492,6 +494,29 @@ def main() -> None:
         per_window = max(per_window // 3, 1)
         print("# degraded wire: shrinking hot-loop windows 3x "
               f"(per_window={per_window})", file=sys.stderr, flush=True)
+    # near-dead wire (<2 MB/s observed; 1.4 GB/s healthy): even ONE hot-loop
+    # macro payload takes tens of minutes to stage, so wire-bound
+    # measurements cannot complete — fall back to the congestion-immune
+    # device-step capacity as the headline so the run ALWAYS emits its JSON
+    # line instead of hanging past the driver's patience. A near-dead first
+    # probe can be a transient (observed: 0.03 MB/s probe, full recovery
+    # minutes later), so wait and re-probe small before giving up on wire
+    # measurements.
+    if h2d["mb_per_s"] < 2:
+        print("# near-dead probe; waiting 90s and re-probing (1MB)",
+              file=sys.stderr, flush=True)
+        time.sleep(90)
+        h2d2 = measure_h2d_health(mb_payload=1.0)
+        print(f"# h2d re-probe: {h2d2}", file=sys.stderr, flush=True)
+        if h2d2["mb_per_s"] >= 2:
+            h2d = {**h2d2, "first_probe": h2d}
+    severe = h2d["mb_per_s"] < 2 and os.environ.get("BENCH_FORCE_WIRE") != "1"
+    if severe:
+        print("# SEVERELY degraded wire (<2 MB/s): skipping wire-bound "
+              "hot-loop and from-disk; headline = device-step capacity",
+              file=sys.stderr, flush=True)
+        dtypes = []
+        disk_rows = 0
 
     variants = {}
     for dt in dtypes:
@@ -500,57 +525,100 @@ def main() -> None:
               f"windows={variants[dt]['windows_examples_per_sec']} "
               f"losses={variants[dt]['window_losses']}", file=sys.stderr, flush=True)
 
-    # headline: the fastest f32-math config. "+sorted" is a pure scheduling
-    # hint; "+blockkernel" keeps exact gather rows and f32-accumulated
-    # aggregation (summation order may differ — the same equivalence class as
-    # pick_sparse_update's two algorithms). "+bf16buf" and "+blockkernel-bf16"
-    # round gradient values, so they are excluded.
-    exact_f32 = [d for d in variants if parse_variant(d)[0] == "float32"
-                 and not parse_variant(d)[2] and parse_variant(d)[4] != "bfloat16"]
-    headline_dtype = (
-        max(exact_f32, key=lambda d: variants[d]["examples_per_sec"])
-        if exact_f32 else dtypes[0]
-    )
-    headline_var = variants[headline_dtype]
-    headline = headline_var["examples_per_sec"]
-    record = {
-        "metric": "two_tower_train_examples_per_sec_1chip",
-        "value": round(headline, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(headline / BASELINE_EXAMPLES_PER_SEC, 2),
-        "note": ("hot-loop (in-memory feed, distinct payloads, median of "
-                 f"{windows} windows); baseline 27k ex/s is the reference's "
-                 "from-disk A10 epoch — see from_disk for the apples-to-apples "
-                 "comparison"),
-        "batch_size": batch_size,
-        "macro": macro,
-        "headline_dtype": headline_dtype,
-        "windows_examples_per_sec": headline_var["windows_examples_per_sec"],
-        "window_losses": headline_var["window_losses"],
-        "roofline": headline_var["roofline"],
-        "h2d_preflight": {
-            **h2d,
-            "healthy_mb_per_s": 1400,
-            "degraded": h2d["mb_per_s"] < 300,
-        },
-        "variants": {
-            dt: {
-                "examples_per_sec": round(v["examples_per_sec"], 1),
-                "windows_examples_per_sec": v["windows_examples_per_sec"],
-                "window_losses": v["window_losses"],
-                "roofline": v["roofline"],
-            }
-            for dt, v in variants.items()
-        },
+    h2d_entry = {
+        **h2d,
+        "healthy_mb_per_s": 1400,
+        "degraded": h2d["mb_per_s"] < 300,
     }
+    record = None
+    if variants:
+        # headline: the fastest f32-math config. "+sorted" is a pure
+        # scheduling hint; "+blockkernel" keeps exact gather rows and
+        # f32-accumulated aggregation (summation order may differ — the same
+        # equivalence class as pick_sparse_update's two algorithms).
+        # "+bf16buf" and "+blockkernel-bf16" round gradient values, so they
+        # are excluded.
+        exact_f32 = [d for d in variants if parse_variant(d)[0] == "float32"
+                     and not parse_variant(d)[2] and parse_variant(d)[4] != "bfloat16"]
+        headline_dtype = (
+            max(exact_f32, key=lambda d: variants[d]["examples_per_sec"])
+            if exact_f32 else dtypes[0]
+        )
+        headline_var = variants[headline_dtype]
+        headline = headline_var["examples_per_sec"]
+        record = {
+            "metric": "two_tower_train_examples_per_sec_1chip",
+            "value": round(headline, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(headline / BASELINE_EXAMPLES_PER_SEC, 2),
+            "note": ("hot-loop (in-memory feed, distinct payloads, median of "
+                     f"{windows} windows); baseline 27k ex/s is the reference's "
+                     "from-disk A10 epoch — see from_disk for the apples-to-apples "
+                     "comparison"),
+            "batch_size": batch_size,
+            "macro": macro,
+            "headline_dtype": headline_dtype,
+            "windows_examples_per_sec": headline_var["windows_examples_per_sec"],
+            "window_losses": headline_var["window_losses"],
+            "roofline": headline_var["roofline"],
+            "h2d_preflight": h2d_entry,
+            "variants": {
+                dt: {
+                    "examples_per_sec": round(v["examples_per_sec"], 1),
+                    "windows_examples_per_sec": v["windows_examples_per_sec"],
+                    "window_losses": v["window_losses"],
+                    "roofline": v["roofline"],
+                }
+                for dt, v in variants.items()
+            },
+        }
     device_variant = os.environ.get("BENCH_DEVICE_VARIANT",
                                     "float32+sorted+blockkernel")
+    if severe and not device_variant:
+        device_variant = "float32+sorted+blockkernel"
     if device_variant:
-        ds_rec = measure_device_step(device_variant, batch_size)
-        record["device_step"] = {"variant": device_variant, **ds_rec}
+        ds_bs = batch_size
+        if severe:
+            # shrink the device-step batch until its one-time pool staging
+            # (pool_n=8 batches of int32 [B, slots]) fits ~10 min at the
+            # observed wire rate — the (2K-K)-difference timing itself is
+            # wire-independent
+            rate = max(h2d["mb_per_s"], 0.01)
+            while ds_bs > 16384 and (8 * ds_bs * 2 * 4 / 1e6) / rate > 600:
+                ds_bs //= 2
+            if ds_bs != batch_size:
+                print(f"# severe wire: device_step batch {batch_size} -> "
+                      f"{ds_bs} to bound pool staging", file=sys.stderr,
+                      flush=True)
+        ds_rec = measure_device_step(device_variant, ds_bs)
+        device_rec = {"variant": device_variant, "batch_size": ds_bs, **ds_rec}
         print(f"# device_step[{device_variant}]: "
               f"{ds_rec['examples_per_sec']:.3g} ex/s ({ds_rec['step_ms']} ms/step) "
               f"losses={ds_rec['losses']}", file=sys.stderr, flush=True)
+        if record is None:
+            record = {
+                "metric": "two_tower_train_examples_per_sec_1chip",
+                "value": round(ds_rec["examples_per_sec"], 1),
+                "unit": "examples/s",
+                "vs_baseline": round(
+                    ds_rec["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
+                "note": ("device-step capacity ((2K-K)-dispatch difference, "
+                         "wire-excluded): tunnel H2D measured "
+                         f"{h2d['mb_per_s']} MB/s (healthy ~1400) — "
+                         "wire-bound hot-loop/from-disk skipped as infeasible; "
+                         "re-run when the probe recovers for wire-included "
+                         "numbers"),
+                "batch_size": ds_bs,
+                "macro": macro,
+                "h2d_preflight": h2d_entry,
+                "wire_bound_skipped": True,
+                "variants": {},
+            }
+        record["device_step"] = device_rec
+    if record is None:
+        raise RuntimeError(
+            "nothing measured: wire-bound paths skipped (severe degradation) "
+            "and BENCH_DEVICE_VARIANT is empty")
 
     if disk_rows > 0:
         fd = measure_from_disk(batch_size, macro, disk_rows)

@@ -15,6 +15,16 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# Subprocess tests (multi-host workers, CLI runs) inherit os.environ; make the
+# package importable from any cwd even when the editable install is absent
+# (fresh environments lose `pip install -e .` state).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO_ROOT
+)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
