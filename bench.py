@@ -510,7 +510,8 @@ def main() -> None:
         print(f"# h2d re-probe: {h2d2}", file=sys.stderr, flush=True)
         if h2d2["mb_per_s"] >= 2:
             h2d = {**h2d2, "first_probe": h2d}
-    severe = h2d["mb_per_s"] < 2 and os.environ.get("BENCH_FORCE_WIRE") != "1"
+    severe = ((h2d["mb_per_s"] < 2 and os.environ.get("BENCH_FORCE_WIRE") != "1")
+              or os.environ.get("BENCH_FORCE_SEVERE") == "1")
     if severe:
         print("# SEVERELY degraded wire (<2 MB/s): skipping wire-bound "
               "hot-loop and from-disk; headline = device-step capacity",
