@@ -122,6 +122,12 @@ def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str, bool]:
             "bf16buf" in parts[1:], "compact" in parts[1:] or delta, bsk, delta)
 
 
+def variant_compute_dtype(spec: str) -> str:
+    """'+bf16compute' runs the tower matmuls in bfloat16 (params stay f32;
+    ~3x the v5e MXU rate vs f32's bf16x3 passes; non-exact vs f32 towers)."""
+    return "bfloat16" if "bf16compute" in spec.split("+")[1:] else "float32"
+
+
 def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
                      per_window: int, warmup: int = 3) -> dict:
     """Chained-state macro-batch training over distinct host payloads.
@@ -161,7 +167,8 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
 
     table_dtype, sort, bf16buf, compact, bsk, delta = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
-        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS,
+        compute_dtype=variant_compute_dtype(variant),
     )
     if table_dtype != "float32":
         mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
@@ -291,7 +298,8 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
 
     table_dtype, sort, bf16buf, _compact, bsk, _delta = parse_variant(variant)
     mcfg = cfg_lib.two_tower_model_config(
-        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS,
+        compute_dtype=variant_compute_dtype(variant),
     )
     if table_dtype != "float32":
         mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
@@ -537,10 +545,11 @@ def main() -> None:
         # scheduling hint; "+blockkernel" keeps exact gather rows and
         # f32-accumulated aggregation (summation order may differ — the same
         # equivalence class as pick_sparse_update's two algorithms).
-        # "+bf16buf" and "+blockkernel-bf16" round gradient values, so they
-        # are excluded.
+        # "+bf16buf", "+blockkernel-bf16", and "+bf16compute" round values,
+        # so they are excluded.
         exact_f32 = [d for d in variants if parse_variant(d)[0] == "float32"
-                     and not parse_variant(d)[2] and parse_variant(d)[4] != "bfloat16"]
+                     and not parse_variant(d)[2] and parse_variant(d)[4] != "bfloat16"
+                     and variant_compute_dtype(d) == "float32"]
         headline_dtype = (
             max(exact_f32, key=lambda d: variants[d]["examples_per_sec"])
             if exact_f32 else dtypes[0]
@@ -616,6 +625,20 @@ def main() -> None:
                 "variants": {},
             }
         record["device_step"] = device_rec
+        # mixed-precision capacity: bf16 tower matmuls + bf16 block-kernel
+        # operands (params/optimizer f32; full-scale recall parity in
+        # BENCH_FULL_SCALE.md). Skipped under a severe wire to bound the
+        # extra pool staging + Mosaic compiles.
+        device_variant2 = os.environ.get(
+            "BENCH_DEVICE_VARIANT2",
+            "" if severe else "float32+sorted+blockkernel-bf16+bf16compute")
+        if device_variant2:
+            ds2 = measure_device_step(device_variant2, ds_bs)
+            record["device_step_bf16"] = {
+                "variant": device_variant2, "batch_size": ds_bs, **ds2}
+            print(f"# device_step[{device_variant2}]: "
+                  f"{ds2['examples_per_sec']:.3g} ex/s ({ds2['step_ms']} ms/step) "
+                  f"losses={ds2['losses']}", file=sys.stderr, flush=True)
     if record is None:
         raise RuntimeError(
             "nothing measured: wire-bound paths skipped (severe degradation) "

@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--sorted-feature", default=None,
                     help="pass through to train.py (hinted-scatter + delta "
                          "wire fast paths)")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="tower MXU dtype passthrough to train.py")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -113,7 +116,9 @@ def main():
       + (["--wire-cache", os.path.join(args.work, "wirecache")]
          if args.wire_cache else [])
       + (["--macro-batches", str(args.macro_batches)]
-         if args.macro_batches is not None else []))
+         if args.macro_batches is not None else [])
+      + (["--compute-dtype", args.compute_dtype]
+         if args.compute_dtype else []))
 
     run([
         py, os.path.join(SCRIPTS, "evaluate_retrieval.py"),

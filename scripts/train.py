@@ -97,6 +97,14 @@ def parse_args():
                          "measurably overfits multi-epoch runs (recall@100 "
                          "0.2246 vs 0.2487 at full scale, 3 epochs); set to "
                          "the epoch count for full row-level freshness")
+    ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+                    help="MXU dtype for the tower matmuls (params and optimizer state "
+                         "stay float32). bfloat16 triples the f32 MXU rate on v5e; "
+                         "quality parity measured in BENCH_FULL_SCALE.md")
+    ap.add_argument("--table-dtype", choices=["float32", "bfloat16", "int8"],
+                    default="float32",
+                    help="embedding-table storage dtype (Adagrad math stays float32); "
+                         "bfloat16 halves, int8 quarters table HBM")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -134,7 +142,12 @@ def main():
     mcfg = cfg_lib.two_tower_model_config(
         num_users=args.num_users, num_items=args.num_items,
         embedding_dim=args.embedding_dim, layer_sizes=tuple(args.layer_sizes),
+        compute_dtype=args.compute_dtype,
     )
+    if args.table_dtype != "float32":
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, table_dtype=args.table_dtype)
     sorted_auto = False
     if args.sorted_feature == "off":
         args.sorted_feature = None

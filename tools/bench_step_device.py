@@ -44,7 +44,8 @@ def build(variant: str, batch_size: int):
     else:
         bsk = "off"
     mcfg = cfg_lib.two_tower_model_config(
-        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64)
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64),
+        compute_dtype="bfloat16" if "bf16compute" in variant else "float32",
     )
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
