@@ -487,7 +487,9 @@ def main() -> None:
                                    max(8 << 20, 4 * macro * batch_size)))
     dtypes = os.environ.get(
         "BENCH_TABLE_DTYPES",
-        "float32+sorted+compact+delta+blockkernel,float32+sorted+compact+delta,"
+        "float32+sorted+compact+delta+blockkernel,"
+        "float32+sorted+compact+delta+blockkernel-bf16+bf16compute,"
+        "float32+sorted+compact+delta,"
         "float32+sorted+compact,float32+sorted,float32,"
         "bfloat16+sorted+compact+delta,int8+sorted+compact+delta",
     ).split(",")

@@ -246,3 +246,37 @@ def test_cli_wire_cache_build_then_reuse(csv_dir, tmp_path):
     assert "wire cache built" not in (r.stdout + r.stderr)
     assert "test_auroc" in r.stdout
     assert "'train_steps': 0" not in r.stdout, r.stdout[-2000:]
+
+
+def test_cli_compute_and_table_dtype(csv_dir, tmp_path):
+    """Round 2e: --compute-dtype bfloat16 (mixed-precision towers) and
+    --table-dtype bfloat16 train through the CLI and export a scorable
+    model; losses stay finite."""
+    out = str(tmp_path / "prepared_mp")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+
+    export_dir = str(tmp_path / "model_mp")
+    r = _run([
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "1", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--limit-train-batches", "10", "--limit-val-batches", "3",
+        "--limit-test-batches", "3",
+        "--compute-dtype", "bfloat16",
+        "--table-dtype", "bfloat16",
+        "--runs-root", str(tmp_path / "runs_mp"),
+        "--export-dir", export_dir,
+    ])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "test_auroc" in r.stdout
+
+    from two_tower_recommender_model_tpu.serving import load_scorer
+    scorer = load_scorer(export_dir)
+    p = scorer.predict({"user_id": [1, 2], "product_id": [3, 4]})
+    assert p.shape == (2,) and np.all(np.isfinite(p))

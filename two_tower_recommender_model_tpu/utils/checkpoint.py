@@ -100,7 +100,12 @@ def export_model(path: str, model_cfg, state: TrainState) -> None:
     for name, table in state.tables.items():
         if isinstance(table, QuantizedTable):
             table = dequantize_table(table)  # portable export is always f32
-        flat[f"tables/{name}"] = np.asarray(table)
+        arr = np.asarray(table)
+        if arr.dtype != np.float32:
+            # bf16 round-trips through np.savez as raw void ('V2') and is
+            # unreadable on load — the portable export is always f32
+            arr = arr.astype(np.float32)
+        flat[f"tables/{name}"] = arr
     for tower in ("query_tower", "candidate_tower"):
         for lname, layer in state.dense_params[tower].items():
             for p, arr in layer.items():
