@@ -52,6 +52,7 @@ def build(variant: str, batch_size: int):
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
+        loss="sampled_softmax" if "softmax" in variant else "bce",
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)
