@@ -40,6 +40,22 @@ def run(cmd: list[str]) -> None:
     print(f"<<< done in {time.perf_counter() - t0:.1f}s", flush=True)
 
 
+def apply_fast_preset(args) -> None:
+    """`--fast`: the measured production-best single-chip flags (explicit
+    flags win). Pre-packed mmap shards + wire cache kill the per-epoch host
+    cost; sorted feature + f32 block-sorted kernels + bf16 tower compute set
+    the 30.8M-ex/s device configuration (exact table math; full-scale recall
+    parity — BENCH_FULL_SCALE.md round-2e)."""
+    args.packed = True
+    args.wire_cache = True
+    if args.sorted_feature is None:
+        args.sorted_feature = "user_id"
+    if args.block_sorted_kernel is None:
+        args.block_sorted_kernel = "float32"
+    if args.compute_dtype is None:
+        args.compute_dtype = "bfloat16"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", required=True, help="working directory for all stages")
@@ -72,8 +88,16 @@ def main():
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="tower MXU dtype passthrough to train.py")
+    ap.add_argument("--fast", action="store_true",
+                    help="production-best single-chip preset: pre-packed "
+                         "shards, sorted feature + f32 block-sorted kernels, "
+                         "wire cache, bf16 tower compute (full-scale recall "
+                         "parity measured in BENCH_FULL_SCALE.md round-2e)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+
+    if args.fast:
+        apply_fast_preset(args)
 
     csv_dir = args.csv_dir or os.path.join(args.work, "csv")
     shards = os.path.join(args.work, "shards")

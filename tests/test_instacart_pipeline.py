@@ -91,3 +91,35 @@ def test_pipeline_end_to_end_subprocess(tmp_path, packed):
     assert np.isfinite(m["recall_at_100"]) and 0 <= m["recall_at_100"] <= 1
     if packed:
         assert "(packed)" in r.stdout
+
+
+def test_fast_preset_expansion():
+    """--fast expands to the measured production-best flags without
+    clobbering explicit user choices."""
+    import importlib.util
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "scripts"))  # for `import _repo_path`
+    spec = importlib.util.spec_from_file_location(
+        "instacart_pipeline", os.path.join(REPO, "scripts", "instacart_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class A:
+        packed = False
+        wire_cache = False
+        sorted_feature = None
+        block_sorted_kernel = None
+        compute_dtype = None
+
+    a = A()
+    mod.apply_fast_preset(a)
+    assert a.packed and a.wire_cache
+    assert a.sorted_feature == "user_id"
+    assert a.block_sorted_kernel == "float32"
+    assert a.compute_dtype == "bfloat16"
+
+    b = A()
+    b.sorted_feature = "off"
+    b.compute_dtype = "float32"
+    mod.apply_fast_preset(b)
+    assert b.sorted_feature == "off" and b.compute_dtype == "float32"
