@@ -130,6 +130,29 @@ def test_export_load_model(tmp_path, setup):
     )
 
 
+def test_export_normalizes_dtype_config(tmp_path, setup):
+    """params.npz is always f32; the exported model_config.json must agree
+    (no stale table_dtype='bfloat16' / per-table overrides misleading
+    consumers that trust the config)."""
+    import dataclasses
+    import json as _json
+
+    mcfg, tcfg, ds, feat = setup
+    tables = tuple(dataclasses.replace(t, dtype="int8" if i == 0 else None)
+                   for i, t in enumerate(mcfg.tables))
+    mcfg_bf16 = dataclasses.replace(mcfg, table_dtype="bfloat16", tables=tables)
+    state, _ = create_train_state(jax.random.key(0), mcfg_bf16, tcfg)
+    export_model(str(tmp_path / "m"), mcfg_bf16, state)
+    with open(tmp_path / "m" / "model_config.json") as f:
+        saved = _json.load(f)
+    assert saved["table_dtype"] is None
+    assert all(t["dtype"] is None for t in saved["tables"])
+    cfg2, params = load_model(str(tmp_path / "m"))
+    for name, arr in params["tables"].items():
+        assert arr.dtype == np.float32
+        assert cfg2.table_dtype_of(name) == "float32"
+
+
 def test_max_to_keep(tmp_path, setup):
     mcfg, tcfg, ds, feat = setup
     state, _ = create_train_state(jax.random.key(0), mcfg, tcfg)

@@ -93,12 +93,13 @@ def test_pipeline_end_to_end_subprocess(tmp_path, packed):
         assert "(packed)" in r.stdout
 
 
-def test_fast_preset_expansion():
+def test_fast_preset_expansion(monkeypatch):
     """--fast expands to the measured production-best flags without
     clobbering explicit user choices."""
     import importlib.util
-    import sys as _sys
-    _sys.path.insert(0, os.path.join(REPO, "scripts"))  # for `import _repo_path`
+    # scripts/ has generically named modules (train.py, ...); scope the path
+    # entry to this test so later tests can't import a shadowed module.
+    monkeypatch.syspath_prepend(os.path.join(REPO, "scripts"))  # for `import _repo_path`
     spec = importlib.util.spec_from_file_location(
         "instacart_pipeline", os.path.join(REPO, "scripts", "instacart_pipeline.py"))
     mod = importlib.util.module_from_spec(spec)

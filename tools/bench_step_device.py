@@ -13,9 +13,12 @@ Run:  nohup python tools/bench_step_device.py > /tmp/step_device_bench.log 2>&1 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -35,24 +38,22 @@ K = 32
 
 
 def build(variant: str, batch_size: int):
-    sort = "sorted" in variant or "blockkernel" in variant
-    bf16buf = "bf16buf" in variant
-    if "blockkernel-bf16" in variant:
-        bsk = "bfloat16"
-    elif "blockkernel" in variant:
-        bsk = "float32"
-    else:
-        bsk = "off"
+    # Share bench.py's '+'-separated tag grammar (tests lock it there) so the
+    # same spec string means the same config in both tools.
+    from bench import parse_variant, variant_compute_dtype
+
+    _dtype, sort, bf16buf, _compact, bsk, _delta = parse_variant(variant)
+    tags = variant.split("+")[1:]
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64),
-        compute_dtype="bfloat16" if "bf16compute" in variant else "float32",
+        compute_dtype=variant_compute_dtype(variant),
     )
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
-        loss="sampled_softmax" if "softmax" in variant else "bce",
+        loss="sampled_softmax" if "softmax" in tags else "bce",
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)

@@ -89,8 +89,15 @@ def export_model(path: str, model_cfg, state: TrainState) -> None:
     import numpy as np
 
     os.makedirs(path, exist_ok=True)
+    cfg_dict = dataclasses.asdict(model_cfg)
+    # The exported arrays are always f32 (bf16/int8 tables are cast below);
+    # normalize the stored config so consumers that trust it (re-quantization,
+    # HBM planning, TrainState rebuilds) see dtypes that match the arrays.
+    cfg_dict["table_dtype"] = None
+    for t in cfg_dict.get("tables", []):
+        t["dtype"] = None
     with open(os.path.join(path, "model_config.json"), "w") as f:
-        json.dump(dataclasses.asdict(model_cfg), f, indent=1)
+        json.dump(cfg_dict, f, indent=1)
     from two_tower_recommender_model_tpu.ops.quantized import (
         QuantizedTable,
         dequantize_table,
