@@ -315,3 +315,89 @@ def test_block_sorted_shapes_ok():
     assert not block_sorted_shapes_ok(64, 262144)   # d % 128
     assert not block_sorted_shapes_ok(128, 200)     # c=200 % 128
     assert not block_sorted_shapes_ok(128, 1000)    # m % c
+
+
+# ---------------------------------------------------------------- int8 kernels
+
+
+def _quant_setup(kind, n, rng):
+    from two_tower_recommender_model_tpu.ops.quantized import quantize_table
+
+    m = 3 * C
+    sids = _case(kind, rng, n, m)
+    table = rng.normal(size=(n, D)).astype(np.float32)
+    qt = quantize_table(jnp.asarray(table))
+    return sids, qt
+
+
+@pytest.mark.parametrize("kind", CASES)
+@pytest.mark.parametrize("n", [220, 16 * 11])
+def test_quantized_lookup_oracle(kind, n):
+    """int8 block gather vs the dequantized-gather oracle: the one-hot
+    contraction of raw int8 values (exact in bf16) and the bf16x3 scale pick
+    are both EXACT, so the only divergence from the numpy oracle is the final
+    `* (s/127)` — XLA rewrites constant division to reciprocal multiply
+    (1 ulp vs IEEE divide). Sentinel rows must be exact zeros."""
+    from two_tower_recommender_model_tpu.ops.block_sorted import (
+        block_sorted_lookup_quantized,
+    )
+
+    rng = np.random.default_rng(hash(kind) % 2**31 + 5)
+    sids, qt = _quant_setup(kind, n, rng)
+    out = np.asarray(block_sorted_lookup_quantized(
+        qt.values, qt.scales, jnp.asarray(sids), r=R, c=C, interpret=True
+    ))
+    vals = np.asarray(qt.values)
+    scls = np.asarray(qt.scales)
+    safe = np.minimum(sids, n - 1)
+    exp = np.where(
+        (sids < n)[:, None],
+        vals[safe].astype(np.float32) * (scls[safe][:, None] / np.float32(127.0)),
+        0.0,
+    )
+    np.testing.assert_allclose(out, exp, rtol=5e-7, atol=0.0)
+    np.testing.assert_array_equal(out[sids >= n], 0.0)
+
+
+@pytest.mark.parametrize("kind", CASES)
+@pytest.mark.parametrize("n", [220, 16 * 11])
+def test_quantized_fused_adagrad_oracle(kind, n):
+    """Fused int8 update vs `quantized_rowwise_adagrad`: scales/acc to f32
+    tolerance; int8 values within one quantization step (aggregation
+    summation order can flip a round-to-nearest boundary); untouched rows
+    BYTE-exact (requantization is not idempotent and must not run on them)."""
+    from two_tower_recommender_model_tpu.ops.block_sorted import (
+        block_sorted_rowwise_adagrad_fused_quantized,
+    )
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        quantized_rowwise_adagrad,
+    )
+
+    rng = np.random.default_rng(hash(kind) % 2**31 + 6)
+    sids, qt = _quant_setup(kind, n, rng)
+    m = 3 * C
+    grads = rng.normal(size=(m, D)).astype(np.float32)
+    acc = np.abs(rng.normal(size=(n,))).astype(np.float32)
+
+    got_v, got_s, got_a = block_sorted_rowwise_adagrad_fused_quantized(
+        qt.values, qt.scales, jnp.asarray(acc), jnp.asarray(sids),
+        jnp.asarray(grads), lr=0.05, eps=1e-10, r=R, c=C, interpret=True,
+    )
+    exp_qt, exp_a = quantized_rowwise_adagrad(
+        qt, jnp.asarray(acc), jnp.asarray(sids), jnp.asarray(grads), 0.05, 1e-10
+    )
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(exp_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(exp_qt.scales),
+                               rtol=1e-5, atol=1e-6)
+    dq = np.abs(np.asarray(got_v, np.int32) - np.asarray(exp_qt.values, np.int32))
+    assert dq.max() <= 1, f"int8 values differ by >1 step (max {dq.max()})"
+    touched = np.zeros(n, bool)
+    touched[sids[sids < n]] = True
+    np.testing.assert_array_equal(
+        np.asarray(got_v)[~touched], np.asarray(qt.values)[~touched]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_s)[~touched], np.asarray(qt.scales)[~touched]
+    )
+    np.testing.assert_array_equal(np.asarray(got_a)[~touched], acc[~touched])

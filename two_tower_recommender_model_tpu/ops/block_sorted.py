@@ -407,6 +407,244 @@ def block_sorted_rowwise_adagrad_fused(
     return new_table.astype(table.dtype), new_acc[0, :n].astype(acc.dtype)
 
 
+def _split3(x):
+    """Exact 3-way bf16 split of an f32 array: x == hi + mid + lo with each
+    component exactly representable in bf16 (3x8 mantissa bits cover f32's 24)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _gather_kernel_quantized(
+    wi_block, wi_chunk, w_real, ids_ref, tab_ref, scl_ref, out_ref, out_scl_ref,
+    *, r, n_rows
+):
+    """int8 variant of `_gather_kernel`: the one-hot contraction runs on the
+    RAW int8 values (cast to bf16 — every int in [-127, 127] is exact in bf16,
+    so the single-pass MXU result is the exact integer row), and the per-row
+    scales are picked with the same one-hot trick into a second [1, C] output
+    (3 single-term bf16x3 dots — exact). The caller multiplies rows by
+    scales/127 outside (XLA fuses it into the consumer); vs
+    `quantized_pooled_lookup` the only divergence is XLA's reciprocal-multiply
+    rewrite of the constant division (1 ulp)."""
+    w = pl.program_id(0)
+    blk = wi_block[w]
+    t = wi_chunk[w]
+    is_first = (w == 0) | (wi_chunk[jnp.maximum(w - 1, 0)] != t)
+
+    @pl.when(w < w_real[0])
+    def _():
+        local = ids_ref[0, 0, :] - blk * r  # [C]
+        c = local.shape[0]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (c, r), 1) == local[:, None])
+        ohb = oh.astype(jnp.bfloat16)
+        # pad rows of the ragged last block hold uninitialized int8 (finite;
+        # no NaN risk) and are never hit by a real id's one-hot column
+        row_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) + blk * r < n_rows
+        )
+        tab = jnp.where(row_valid, tab_ref[:], 0).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            ohb, tab, dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, D] exact integers
+        # exact scale pick: [1, R] scales -> [1, C] via 3 one-hot matmuls on
+        # the bf16x3 split (one term per output row => no summation rounding)
+        scl = scl_ref[0:1, pl.ds(blk * r, r)]
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sc = sum(dot(p, ohb) for p in _split3(scl))  # [1, C]
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = contrib
+            out_scl_ref[:] = sc
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+            out_scl_ref[:] = out_scl_ref[:] + sc
+
+
+@functools.partial(jax.jit, static_argnames=("r", "c", "interpret"))
+def block_sorted_lookup_quantized(
+    values: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32 per-row absmax
+    sids: jax.Array,  # [M] int32, NON-DECREASING; sentinel >= N -> zero row
+    r: int = 512,
+    c: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:  # [M, D] f32 dequantized rows (0 for sentinels)
+    """int8 `block_sorted_lookup`: streams the RAW int8 table blocks (4x less
+    HBM than f32) and dequantizes per output row — bitwise-identical to
+    `ops.quantized.quantized_pooled_lookup`'s per-row dequantize (the int8
+    speed role of fbgemm's quantized EmbeddingBag kernels, SURVEY §2.8.1)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, d = values.shape
+    m = sids.shape[0]
+    c = min(c, m)
+    r = min(r, -(-n // 8) * 8)
+    _check(n, d, m, r, c)
+    g = -(-n // r)
+    nchunks = m // c
+    n_pad = g * r
+    wi_block, wi_chunk, w_real = plan_block_work(sids, n, r, c)
+    scl_pad = jnp.pad(scales.astype(jnp.float32), (0, n_pad - n))[None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks + 2 * g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
+            pl.BlockSpec((1, c), lambda w, wb, wc, wr: (0, wc[w])),
+        ],
+    )
+    rows_int, scl_rows = pl.pallas_call(
+        functools.partial(_gather_kernel_quantized, r=r, n_rows=n),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(wi_block, wi_chunk, w_real, _ids3d(sids, c), values, scl_pad)
+    return rows_int * (scl_rows[0, :, None] / 127.0)
+
+
+def _fused_update_kernel_quantized(
+    wi_block, wi_chunk, w_real, ids_ref, g_ref, tab_ref, scl_ref, acc_ref,
+    out_tab_ref, out_scl_ref, out_acc_ref, scratch, *, r, cdt, lr, eps
+):
+    """int8 `_fused_update_kernel`: MXU aggregation into VMEM scratch, then a
+    dequantize -> row-wise Adagrad -> fresh-absmax requantize epilogue, all in
+    one kernel — the table streams once as int8 in each direction and the
+    dense aggregated gradient never reaches HBM. Untouched rows keep their
+    exact stored bytes and scales (requantization is NOT idempotent)."""
+    w = pl.program_id(0)
+    blk = wi_block[w]
+    is_first = (w == 0) | (wi_block[jnp.maximum(w - 1, 0)] != blk)
+    last_w = pl.num_programs(0) - 1
+    is_last = (w == last_w) | (wi_block[jnp.minimum(w + 1, last_w)] != blk)
+
+    @pl.when(is_first)
+    def _():
+        scratch[:] = jnp.zeros_like(scratch)
+
+    @pl.when(w < w_real[0])
+    def _():
+        local = ids_ref[0, 0, :] - blk * r  # [C]
+        c = local.shape[0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0) == local[None, :]
+        scratch[:] += _oh_dot(oh, g_ref[:], cdt, ((1,), (0,)))
+
+    @pl.when(is_last)
+    def _():
+        g = scratch[:]  # [r, d] f32 aggregated gradient of this block
+        touched = jnp.any(g != 0.0, axis=1, keepdims=True)  # [r, 1]
+        g2 = jnp.mean(g * g, axis=1, keepdims=True)  # [r, 1]
+        acc_col = _lane_to_sublane(acc_ref[0:1, pl.ds(blk * r, r)])  # [r, 1]
+        scl_col = _lane_to_sublane(scl_ref[0:1, pl.ds(blk * r, r)])  # [r, 1]
+        vals = tab_ref[:]  # [r, d] int8
+        rows = vals.astype(jnp.float32) * (scl_col / 127.0)
+        new_acc = jnp.where(touched, acc_col + g2, acc_col)
+        new_rows = rows - lr * g / (jnp.sqrt(new_acc) + eps)
+        new_scl = jnp.max(jnp.abs(new_rows), axis=1, keepdims=True)  # [r, 1]
+        denom = jnp.where(new_scl > 0, new_scl, 1.0)
+        q = jnp.clip(jnp.round(new_rows / denom * 127.0), -127, 127).astype(jnp.int8)
+        out_tab_ref[:] = jnp.where(touched, q, vals)
+        out_scl_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(
+            jnp.where(touched, new_scl, scl_col)
+        )
+        out_acc_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(new_acc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "eps", "r", "c", "matmul_dtype", "interpret")
+)
+def block_sorted_rowwise_adagrad_fused_quantized(
+    values: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32
+    acc: jax.Array,  # [N] f32
+    flat_ids: jax.Array,  # [M] NON-DECREASING (sentinel >= N for dead slots)
+    flat_grads: jax.Array,  # [M, D]
+    lr: float,
+    eps: float = 1e-10,
+    *,
+    r: int = 512,
+    c: int = 512,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:  # (values, scales, acc)
+    """Fused int8 row-wise Adagrad on sorted ids: same grid/aggregation as
+    `block_sorted_rowwise_adagrad_fused`, with the int8 dequantize/requantize
+    folded into the epilogue. Same quantization math as
+    `ops.quantized.quantized_rowwise_adagrad` (fresh per-row absmax, untouched
+    rows byte-exact); aggregation is in the f32-summation-order numerics class
+    of the other block kernels. `matmul_dtype` sets the GRADIENT operand
+    precision of the aggregation matmul, as in the f32 kernels."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, d = values.shape
+    m = flat_grads.shape[0]
+    c = min(c, m)
+    r = min(r, -(-n // 8) * 8)
+    _check(n, d, m, r, c)
+    g = -(-n // r)
+    nchunks = m // c
+    n_pad = g * r
+    wi_block, wi_chunk, w_real = plan_block_work(flat_ids, n, r, c)
+    cdt = jnp.dtype(matmul_dtype)
+
+    scl_pad = jnp.pad(scales.astype(jnp.float32), (0, n_pad - n))[None, :]
+    acc_pad = jnp.pad(acc.astype(jnp.float32), (0, n_pad - n))[None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks + 2 * g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
+            pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((r, d), jnp.float32)],
+    )
+    new_vals, new_scl, new_acc = pl.pallas_call(
+        functools.partial(_fused_update_kernel_quantized, r=r, cdt=cdt, lr=lr, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.int8),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(wi_block, wi_chunk, w_real, _ids3d(flat_ids, c),
+      flat_grads.astype(jnp.float32), values, scl_pad, acc_pad)
+    return new_vals, new_scl[0, :n], new_acc[0, :n].astype(acc.dtype)
+
+
 def block_sorted_rowwise_adagrad(
     table: jax.Array,
     acc: jax.Array,
