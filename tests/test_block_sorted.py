@@ -401,3 +401,53 @@ def test_quantized_fused_adagrad_oracle(kind, n):
         np.asarray(got_s)[~touched], np.asarray(qt.scales)[~touched]
     )
     np.testing.assert_array_equal(np.asarray(got_a)[~touched], acc[~touched])
+
+
+def test_train_step_int8_block_sorted_matches_quantized_baseline():
+    """int8 tables + block_sorted_kernel: the sorted table rides the fused
+    quantized kernel, unsorted tables the device-sort front-end — matching
+    the plain quantized-update step. Quantization rounding can flip one int8
+    step per update and feeds back through the towers, so the contract is
+    dequantized closeness, not bitwise."""
+    import dataclasses
+
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedFeaturizer,
+        make_packed_train_step,
+    )
+    from two_tower_recommender_model_tpu.ops.quantized import dequantize_table
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    mcfg = cfg_lib.two_tower_model_config(300, 80, embedding_dim=128)
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    ds = SyntheticClickstream(300, 80, seed=7)
+    cols_list = [ds.sample(256, start=i) for i in range(3)]
+    feat = PackedFeaturizer(mcfg, sort_feature="user_id")
+
+    def run(tcfg):
+        state, dense_opt = create_train_state(jax.random.key(5), mcfg, tcfg)
+        core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
+        step = make_packed_train_step(core, mcfg)
+        losses = []
+        for cols in cols_list:
+            state, out = step(state, jax.tree.map(jnp.asarray, feat(cols)))
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    state_a, loss_a = run(cfg_lib.TrainConfig(sorted_feature="user_id"))
+    state_b, loss_b = run(
+        cfg_lib.TrainConfig(sorted_feature="user_id", block_sorted_kernel="float32")
+    )
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-3)
+    for name in state_a.tables:
+        da = np.asarray(dequantize_table(state_a.tables[name]))
+        db = np.asarray(dequantize_table(state_b.tables[name]))
+        np.testing.assert_allclose(da, db, atol=1e-2)
+        assert state_b.tables[name].values.dtype == jnp.int8

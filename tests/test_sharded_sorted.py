@@ -256,3 +256,48 @@ def test_device_sort_kernel_unsorted_sharded_matches_single_device(mesh_shape):
     np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
     _assert_states_close(ref_state, unshard_train_state(sh_state, plan, mcfg),
                          rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_int8_block_sorted_sharded_matches_single_device(mesh_shape):
+    """int8 tables + sorted_feature + block_sorted_kernel: the sorted table's
+    shard streams as raw int8 through the quantized block gather and the
+    fused dequant/requant Adagrad; the unsorted int8 table rides the
+    device-sort front-end. Contract vs the single-device step is dequantized
+    closeness (per-shard aggregation order can flip one int8 rounding step)."""
+    import dataclasses
+
+    from two_tower_recommender_model_tpu.ops.quantized import dequantize_table
+
+    mcfg, batches = _make_setup(embedding_dim=128, batch_size=128)
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    tcfg = cfg_lib.TrainConfig(
+        sparse_learning_rate=0.05, learning_rate=1e-3,
+        sorted_feature="user_id", block_sorted_kernel="float32",
+    )
+    mesh = make_mesh(*mesh_shape)
+    plan = plan_sharding(mcfg, mesh.devices.size, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-3)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        assert gathered.tables[name].values.dtype == np.int8
+        da = np.asarray(dequantize_table(ref_state.tables[name]))
+        db = np.asarray(dequantize_table(gathered.tables[name]))
+        np.testing.assert_allclose(db, da, atol=5e-3)
+        np.testing.assert_allclose(
+            gathered.adagrad_acc[name], np.asarray(ref_state.adagrad_acc[name]),
+            rtol=1e-3, atol=1e-5,
+        )

@@ -94,11 +94,21 @@ def pooled_embeddings(
         if fc.name == block_sorted_feature:
             from two_tower_recommender_model_tpu.ops.block_sorted import (
                 block_sorted_lookup,
+                block_sorted_lookup_quantized,
+            )
+            from two_tower_recommender_model_tpu.ops.quantized import (
+                QuantizedTable,
             )
 
-            rows = block_sorted_lookup(
-                tables[fc.table], feat.ids[:, 0], matmul_dtype=block_sorted_dtype
-            )
+            table = tables[fc.table]
+            if isinstance(table, QuantizedTable):
+                rows = block_sorted_lookup_quantized(
+                    table.values, table.scales, feat.ids[:, 0]
+                )
+            else:
+                rows = block_sorted_lookup(
+                    table, feat.ids[:, 0], matmul_dtype=block_sorted_dtype
+                )
             pooled = rows * feat.mask[:, :1].astype(rows.dtype)  # single-slot
             out[fc.name] = (
                 pooled.astype(compute_dtype) if compute_dtype is not None else pooled

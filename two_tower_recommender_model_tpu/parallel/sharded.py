@@ -350,13 +350,17 @@ def make_replicated_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
         n = table.shape[0]
         flat_ids = jnp.where(w_all != 0, ids_all, n).astype(jnp.int32).reshape(-1)
         flat_g = g_all.reshape(-1, g_all.shape[-1])
+        block_ok = bs_kernel != "off" and _bs_shapes_ok(
+            flat_g.shape[-1], flat_ids.shape[0]
+        )
         if isinstance(table, QuantizedTable):
+            if block_ok:
+                # device-sort front-end dispatches to the fused int8 kernel
+                return opt_lib.device_sorted_fused_adagrad(
+                    table, acc, flat_ids, flat_g, lr, eps, matmul_dtype=bs_kernel
+                )
             return quantized_rowwise_adagrad(table, acc, flat_ids, flat_g, lr, eps)
-        if (
-            bs_kernel != "off"
-            and table.dtype == jnp.float32
-            and _bs_shapes_ok(flat_g.shape[-1], flat_ids.shape[0])
-        ):
+        if block_ok and table.dtype == jnp.float32:
             return opt_lib.device_sorted_fused_adagrad(
                 table, acc, flat_ids, flat_g, lr, eps, matmul_dtype=bs_kernel
             )
@@ -365,7 +369,7 @@ def make_replicated_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
     return update
 
 
-def make_sorted_sharded_lookup(mesh, matmul_dtype: str):
+def make_sorted_sharded_lookup(mesh, matmul_dtype: str, quantized: bool = False):
     """Row-sharded pooled lookup for the host-sorted single-slot feature via
     the block-sorted one-hot MXU kernel (`ops/block_sorted.py`): the global
     batch arrives sorted by this table's hashed ids (missing last), so after
@@ -373,28 +377,43 @@ def make_sorted_sharded_lookup(mesh, matmul_dtype: str):
     stream its table shard block-by-block instead of random-gathering rows.
     Foreign ids (owned by another shard) fall outside every local block and
     contribute exact zero rows, which the psum_scatter then fills in from the
-    owning device — the same partial-pool contract as `make_sharded_lookup`."""
+    owning device — the same partial-pool contract as `make_sharded_lookup`.
+
+    `quantized=True` expects an int8 `QuantizedTable` shard and streams it
+    raw through `block_sorted_lookup_quantized` (1/4 the shard HBM bytes)."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
+    table_spec = (
+        QuantizedTable(values=P(FLAT_AXES, None), scales=P(FLAT_AXES))
+        if quantized else P(FLAT_AXES, None)
+    )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(FLAT_AXES, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        in_specs=(table_spec, P(DATA_AXIS, None), P(DATA_AXIS, None)),
         out_specs=P(DATA_AXIS, None),
         check_vma=False,
     )
     def lookup(table_shard, ids, w):
         from two_tower_recommender_model_tpu.ops.block_sorted import (
             block_sorted_lookup,
+            block_sorted_lookup_quantized,
         )
 
         didx = jax.lax.axis_index(FLAT_AXES)
         ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
         w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
-        rows = table_shard.shape[0]
+        rows = (table_shard.values if quantized else table_shard).shape[0]
         sentinel = mesh.devices.size * rows  # > every shard's local range
         key = jnp.where(w_all != 0, ids_all, sentinel).astype(jnp.int32)
         local = key.reshape(-1) - didx * rows  # non-decreasing; OOB -> 0 rows
-        emb = block_sorted_lookup(table_shard, local, matmul_dtype=matmul_dtype)
+        if quantized:
+            emb = block_sorted_lookup_quantized(
+                table_shard.values, table_shard.scales, local
+            )
+        else:
+            emb = block_sorted_lookup(table_shard, local, matmul_dtype=matmul_dtype)
         part = emb * jnp.where(w_all != 0, w_all, 0.0).reshape(-1, 1)
         out = jax.lax.psum_scatter(part, DATA_AXIS, scatter_dimension=0, tiled=True)
         return jax.lax.psum(out, MODEL_AXIS)
@@ -404,7 +423,7 @@ def make_sorted_sharded_lookup(mesh, matmul_dtype: str):
 
 def make_sorted_sharded_update(
     mesh, lr: float, eps: float, bs_kernel: str = "off",
-    buffer_dtype=None,
+    buffer_dtype=None, quantized: bool = False,
 ):
     """Row-sharded fused Adagrad for the host-sorted feature's table.
 
@@ -420,16 +439,29 @@ def make_sorted_sharded_update(
     Requires the GLOBAL batch sorted by this table's hashed ids — true when
     one process feeds the whole batch (`PackedFeaturizer(sort_feature=...)`).
     Multi-host slices are only per-host sorted; the builder gates on
-    `jax.process_count() == 1`."""
+    `jax.process_count() == 1`.
+
+    `quantized=True` expects an int8 `QuantizedTable` shard: `bs_kernel` on
+    routes to the fused dequant/requant-in-epilogue kernel, off to the plain
+    quantized segment update (which drops out-of-range ids itself)."""
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        QuantizedTable,
+        quantized_rowwise_adagrad,
+    )
+
+    table_spec = (
+        QuantizedTable(values=P(FLAT_AXES, None), scales=P(FLAT_AXES))
+        if quantized else P(FLAT_AXES, None)
+    )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(FLAT_AXES, None), P(FLAT_AXES),
+            table_spec, P(FLAT_AXES),
             P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
         ),
-        out_specs=(P(FLAT_AXES, None), P(FLAT_AXES)),
+        out_specs=(table_spec, P(FLAT_AXES)),
         check_vma=False,
     )
     def update(table_shard, acc_shard, ids, w, row_g):
@@ -437,11 +469,25 @@ def make_sorted_sharded_update(
         ids_all = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
         w_all = jax.lax.all_gather(w, DATA_AXIS, axis=0, tiled=True)
         g_all = jax.lax.all_gather(row_g, DATA_AXIS, axis=0, tiled=True)
-        rows = table_shard.shape[0]
+        rows = (table_shard.values if quantized else table_shard).shape[0]
         sentinel = mesh.devices.size * rows
         key = jnp.where(w_all != 0, ids_all, sentinel).astype(jnp.int32)
         local = key.reshape(-1) - didx * rows  # non-decreasing
         flat_g = g_all.reshape(-1, g_all.shape[-1])
+        if quantized:
+            if bs_kernel != "off":
+                from two_tower_recommender_model_tpu.ops.block_sorted import (
+                    block_sorted_rowwise_adagrad_fused_quantized,
+                )
+
+                new_v, new_s, new_a = block_sorted_rowwise_adagrad_fused_quantized(
+                    table_shard.values, table_shard.scales, acc_shard, local,
+                    flat_g, lr, eps, matmul_dtype=bs_kernel,
+                )
+                return QuantizedTable(values=new_v, scales=new_s), new_a
+            return quantized_rowwise_adagrad(
+                table_shard, acc_shard, local, flat_g, lr, eps
+            )
         if bs_kernel != "off":
             from two_tower_recommender_model_tpu.ops.block_sorted import (
                 block_sorted_rowwise_adagrad_fused,
@@ -593,10 +639,13 @@ def make_sharded_forward(
     lookup = make_sharded_lookup(mesh)
     col_lookup = make_column_lookup(mesh)
     q_lookup = make_quantized_sharded_lookup(mesh)
-    bs_lookup = (
-        make_sorted_sharded_lookup(mesh, block_sorted_dtype)
-        if block_sorted_feature is not None else None
-    )
+    bs_lookup = None
+    if block_sorted_feature is not None:
+        fc = next(f for f in model_cfg.features if f.name == block_sorted_feature)
+        bs_lookup = make_sorted_sharded_lookup(
+            mesh, block_sorted_dtype,
+            quantized=model_cfg.table_dtype_of(fc.table) == "int8",
+        )
 
     def pooled_embeddings(tables, batch: Batch):
         pooled, weights = {}, {}
@@ -689,9 +738,9 @@ def make_sharded_train_step(
                     f"in the sharded step (plan says {plan[sorted_table].strategy}); "
                     "force it via plan_sharding(..., force={...: 'row_sharded'})"
                 )
-            if model_cfg.table_dtype_of(sorted_table) != "float32":
+            if model_cfg.table_dtype_of(sorted_table) not in ("float32", "int8"):
                 raise ValueError(
-                    f"block_sorted_kernel supports float32 tables only; "
+                    f"block_sorted_kernel supports float32 and int8 tables; "
                     f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
                 )
     _, pooled_embeddings = make_sharded_forward(
@@ -712,6 +761,7 @@ def make_sharded_train_step(
             sorted_update = make_sorted_sharded_update(
                 mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
                 bs_kernel=bs_kernel, buffer_dtype=sorted_buf,
+                quantized=model_cfg.table_dtype_of(sorted_table) == "int8",
             )
         else:  # replicated
             sorted_rep_update = make_replicated_sorted_update(
@@ -730,7 +780,8 @@ def make_sharded_train_step(
         if plan[t.name].strategy == COLUMN_SHARDED
     }
     q_sharded_update = make_quantized_sharded_update(
-        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps
+        mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+        bs_kernel=bs_kernel,
     )
 
     cand_feature = model_cfg.candidate_tower.features[0]
@@ -803,7 +854,8 @@ def make_sharded_train_step(
                         )
                     upd = column_updates[tname]
                 elif spec.strategy == ROW_SHARDED:
-                    if tname == sorted_table and not quantized:
+                    if tname == sorted_table:
+                        # built with quantized=True when the table is int8
                         upd = sorted_update
                     else:
                         upd = q_sharded_update if quantized else sharded_update
@@ -1087,9 +1139,11 @@ def make_quantized_sharded_lookup(mesh):
     return lookup
 
 
-def make_quantized_sharded_update(mesh, lr: float, eps: float):
+def make_quantized_sharded_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
     """Row-sharded int8 row-wise Adagrad: each device re-quantizes only the
-    rows it owns."""
+    rows it owns. `bs_kernel != "off"` routes eligible shards through the
+    device-sort front-end into the fused int8 block kernel (the table shard
+    streams as int8 both ways instead of a dequantized gather/scatter)."""
     from two_tower_recommender_model_tpu.ops.quantized import (
         QuantizedTable,
         quantized_rowwise_adagrad,
@@ -1119,6 +1173,11 @@ def make_quantized_sharded_update(mesh, lr: float, eps: float):
         ok = (local >= 0) & (local < rows) & (w_all != 0)
         flat_ids = jnp.where(ok, local, rows).astype(jnp.int32).reshape(-1)
         flat_g = g_all.reshape(-1, g_all.shape[-1])
+        if bs_kernel != "off" and _bs_shapes_ok(flat_g.shape[-1], flat_ids.shape[0]):
+            return opt_lib.device_sorted_fused_adagrad(
+                qt_shard, acc_shard, flat_ids, flat_g, lr, eps,
+                matmul_dtype=bs_kernel,
+            )
         return quantized_rowwise_adagrad(qt_shard, acc_shard, flat_ids, flat_g, lr, eps)
 
     return update

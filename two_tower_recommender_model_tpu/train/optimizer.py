@@ -115,15 +115,26 @@ def device_sorted_fused_adagrad(
     0.58 ms + fused kernel 1.15 ms ≈ 2.0 ms vs 5.46 ms for the transient-
     dense scatter path. Same numerics class as the other block-sorted paths
     (f32 summation order; exact operand products via bf16x3 when
-    matmul_dtype='float32')."""
+    matmul_dtype='float32').
+
+    Accepts int8 `QuantizedTable` storage transparently (routes to the fused
+    quantized kernel, which streams the table as int8 both ways)."""
     from two_tower_recommender_model_tpu.ops.block_sorted import (
         block_sorted_rowwise_adagrad_fused,
+        block_sorted_rowwise_adagrad_fused_quantized,
     )
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
     m = flat_ids.shape[0]
     sids, perm = jax.lax.sort(
         (flat_ids, jnp.arange(m, dtype=jnp.int32)), num_keys=1
     )
+    if isinstance(table, QuantizedTable):
+        new_v, new_s, new_a = block_sorted_rowwise_adagrad_fused_quantized(
+            table.values, table.scales, acc, sids, flat_grads[perm], lr, eps,
+            matmul_dtype=matmul_dtype,
+        )
+        return QuantizedTable(values=new_v, scales=new_s), new_a
     return block_sorted_rowwise_adagrad_fused(
         table, acc, sids, flat_grads[perm], lr, eps, matmul_dtype=matmul_dtype
     )

@@ -188,11 +188,12 @@ def make_train_step(
         raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
     # without a sorted_feature the kernels still apply to UPDATES via the
     # device-sort front-end (`opt_lib.device_sorted_fused_adagrad`); the
-    # sorted table's block GATHER additionally needs the host sort
+    # sorted table's block GATHER additionally needs the host sort. f32 and
+    # int8 storage both have block-kernel paths; bf16 storage does not.
     if bs_kernel != "off" and sorted_table is not None:
-        if model_cfg.table_dtype_of(sorted_table) != "float32":
+        if model_cfg.table_dtype_of(sorted_table) not in ("float32", "int8"):
             raise ValueError(
-                f"block_sorted_kernel supports float32 tables only; "
+                f"block_sorted_kernel supports float32 and int8 tables; "
                 f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
             )
 
@@ -252,34 +253,46 @@ def make_train_step(
                 quantized_dense_rowwise_adagrad,
             )
 
-            if sparse_update is not None and not isinstance(
-                state.tables[tname], QuantizedTable
-            ):
+            quantized = isinstance(state.tables[tname], QuantizedTable)
+            if sparse_update is not None:
                 # explicit override wins over the block-kernel routing
+                # (quantized tables already picked their quantized variant)
                 pass
-            elif tname == sorted_table and bs_kernel != "off" and not isinstance(
-                state.tables[tname], QuantizedTable
-            ):
-                from two_tower_recommender_model_tpu.ops.block_sorted import (
-                    block_sorted_rowwise_adagrad_fused,
-                )
-
+            elif tname == sorted_table and bs_kernel != "off":
                 # fused single-kernel variant: aggregation + Adagrad epilogue
-                # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k)
-                upd = functools.partial(
-                    block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
-                )
+                # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k);
+                # int8 storage gets the dequant/requant-in-epilogue variant
+                if quantized:
+                    from two_tower_recommender_model_tpu.ops.block_sorted import (
+                        block_sorted_rowwise_adagrad_fused_quantized,
+                    )
+
+                    def upd(qt, acc, fids, fgrads, lr, eps,
+                            _k=block_sorted_rowwise_adagrad_fused_quantized,
+                            _dt=bs_kernel):
+                        new_v, new_s, new_a = _k(
+                            qt.values, qt.scales, acc, fids, fgrads, lr, eps,
+                            matmul_dtype=_dt,
+                        )
+                        return QuantizedTable(values=new_v, scales=new_s), new_a
+                else:
+                    from two_tower_recommender_model_tpu.ops.block_sorted import (
+                        block_sorted_rowwise_adagrad_fused,
+                    )
+
+                    upd = functools.partial(
+                        block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
+                    )
             elif (
                 bs_kernel != "off"
-                and not isinstance(state.tables[tname], QuantizedTable)
-                and model_cfg.table_dtype_of(tname) == "float32"
+                and model_cfg.table_dtype_of(tname) in ("float32", "int8")
                 and _block_shapes_ok(model_cfg.table(tname).embedding_dim,
                                      fids.shape[0])
             ):
                 # UNSORTED tables (only one feature rides the host sort):
                 # device-sort + permute + the same fused kernel — measured
                 # 5.46 -> 2.0 ms for the item table at bs=262k
-                # (tools/probe_item_paths.py)
+                # (tools/probe_item_paths.py); type-dispatches int8 storage
                 upd = functools.partial(
                     opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
                 )
