@@ -52,3 +52,35 @@ def test_default_variant_list_parses():
         assert dt in ("float32", "bfloat16", "int8")
         assert bsk in ("off", "float32", "bfloat16")
         assert bench.variant_compute_dtype(spec_) in ("float32", "bfloat16")
+
+
+def test_persist_or_reference_latest(tmp_path):
+    """Complete records persist to BENCH_LATEST.json; incomplete (severe-wire)
+    records get a last_complete summary referencing the persisted one."""
+    p = str(tmp_path / "BENCH_LATEST.json")
+    complete = {
+        "value": 19.7e6, "vs_baseline": 731.0, "headline_dtype": "f32+x",
+        "variants": {"f32+x": {"examples_per_sec": 19.7e6}},
+        "from_disk": {"examples_per_sec": 9.7e6},
+        "device_step": {"examples_per_sec": 23.1e6},
+        "device_step_bf16": {"examples_per_sec": 35.8e6},
+    }
+    assert bench.record_is_complete(complete)
+    bench.persist_or_reference_latest(complete, p)
+    assert os.path.exists(p)
+    assert complete["recorded_at"]
+
+    severe = {"value": 23.0e6, "wire_bound_skipped": True, "variants": {},
+              "device_step": {"examples_per_sec": 23.0e6}}
+    assert not bench.record_is_complete(severe)
+    bench.persist_or_reference_latest(severe, p)
+    lc = severe["last_complete"]
+    assert lc["value"] == 19.7e6
+    assert lc["variants_examples_per_sec"] == {"f32+x": 19.7e6}
+    assert lc["device_step_bf16_examples_per_sec"] == 35.8e6
+    assert lc["from_disk_examples_per_sec"] == 9.7e6
+
+    # no BENCH_LATEST yet -> no reference, no crash
+    severe2 = {"value": 1.0, "wire_bound_skipped": True, "variants": {}}
+    bench.persist_or_reference_latest(severe2, str(tmp_path / "missing.json"))
+    assert "last_complete" not in severe2

@@ -1,0 +1,277 @@
+"""Per-phase budget of the device train step (VERDICT r2 item 2).
+
+Itemizes the flagship-shape step (bs=262k, two 128-dim tables, [128,64]
+towers) against the modeled HBM/MXU floors by timing ABLATED step variants
+with the (2K-K)-dispatch-difference harness (constant dispatch overheads
+cancel; accurate through tunnel congestion, DESIGN §5b) and differencing:
+
+  full            the real step (same building blocks as train/step.py)
+  no_user_upd     user-table update skipped       -> user update = full - this
+  no_item_upd     item-table update skipped       -> item update = full - this
+  no_updates      both sparse updates skipped (dense Adam kept)
+  fwd_only        gathers + towers forward + loss, no grad, no updates
+  gathers_only    gathers + trivial reduce (no towers)
+  empty           unpack + trivial reduce of ids  -> decode/scan overhead
+
+Derived phases:
+  user_update  = full - no_user_upd        item_update = full - no_item_upd
+  towers_bwd   = no_updates - fwd_only     towers_fwd+loss = fwd_only - gathers_only
+  gathers      = gathers_only - empty      decode = empty
+
+Run on the real chip (wire-tolerant; pool uploads ~13MB once per variant):
+  nohup python tools/bench_phase.py > /tmp/bench_phase.log 2>&1 &
+Options: --bs N  --variants spec1,spec2  (bench.py's '+' tag grammar:
+  float32+sorted+blockkernel | float32+sorted+blockkernel-bf16+bf16compute)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import SyntheticClickstream
+from two_tower_recommender_model_tpu.data.device_featurizer import (
+    PackedBatch,
+    PackedFeaturizer,
+    unpack_batch,
+)
+from two_tower_recommender_model_tpu.models import losses as losses_lib
+from two_tower_recommender_model_tpu.models import two_tower
+from two_tower_recommender_model_tpu.train import optimizer as opt_lib
+from two_tower_recommender_model_tpu.train.step import (
+    TrainState,
+    _table_flat_grads,
+    create_train_state,
+)
+
+N_USERS, N_ITEMS = 206_209, 49_688
+POOL = 4
+K = 32  # --k overrides
+
+
+def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
+    """The train step with phases removed. `mode`: full | no_user_upd |
+    no_item_upd | no_updates | fwd_only | gathers_only | empty. Mirrors
+    `train/step.py:make_train_step`'s flagship routing (sorted user table ->
+    fused block kernel; item table -> device-sort front-end) so `full`
+    matches the production step; ablations keep data deps alive (every
+    variant returns a loss-like scalar reduced from the live computation)."""
+    loss_fn = losses_lib.loss_fn_from_config(tcfg, mcfg)
+    bs_kernel = tcfg.block_sorted_kernel
+    sorted_table = "t_user_id"
+    import dataclasses as _dc
+
+    def step(state: TrainState, batch):
+        if mode == "empty":
+            # decode cost only: touch the unpacked ids, no gathers
+            tot = jnp.float32(0.0)
+            for fc in mcfg.features:
+                tot += batch.features[fc.name].ids.sum().astype(jnp.float32)
+            return state, {"loss": tot}
+
+        pooled = two_tower.pooled_embeddings(
+            state.tables, batch, mcfg,
+            block_sorted_feature=(
+                tcfg.sorted_feature if bs_kernel != "off" else None
+            ),
+            block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+        )
+        if mode == "gathers_only":
+            tot = sum(p.sum().astype(jnp.float32) for p in pooled.values())
+            return state, {"loss": tot}
+
+        def loss_of(dense_params, pooled):
+            q, c = two_tower.towers_forward(dense_params, pooled, batch.dense, mcfg)
+            loss, logits = loss_fn(q, c, batch, log_q=None)
+            return loss, logits
+
+        if mode == "fwd_only":
+            loss, _ = loss_of(state.dense_params, pooled)
+            return state, {"loss": loss}
+
+        (loss, logits), (d_dense, d_pooled) = jax.value_and_grad(
+            loss_of, argnums=(0, 1), has_aux=True
+        )(state.dense_params, pooled)
+
+        import optax
+
+        updates, new_opt_state = dense_opt.update(
+            d_dense, state.dense_opt_state, state.dense_params
+        )
+        new_dense = optax.apply_updates(state.dense_params, updates)
+
+        new_tables = dict(state.tables)
+        new_acc = dict(state.adagrad_acc)
+        skip = {
+            "no_user_upd": {sorted_table},
+            "no_item_upd": {"t_product_id"},
+            "no_updates": {sorted_table, "t_product_id"},
+        }.get(mode, set())
+        for tname, (fids, fgrads) in _table_flat_grads(mcfg, batch, d_pooled).items():
+            if tname in skip:
+                # keep d_pooled live without the update's cost
+                loss = loss + 0.0 * fgrads[0, 0]
+                continue
+            if tname == sorted_table and bs_kernel != "off":
+                from two_tower_recommender_model_tpu.ops.block_sorted import (
+                    block_sorted_rowwise_adagrad_fused,
+                )
+
+                upd = functools.partial(
+                    block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
+                )
+            elif bs_kernel != "off":
+                upd = functools.partial(
+                    opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
+                )
+            else:
+                upd = functools.partial(
+                    opt_lib.dense_rowwise_adagrad,
+                    ids_sorted=(tname == sorted_table),
+                ) if tname == sorted_table else opt_lib.pick_sparse_update(
+                    mcfg.table(tname).num_embeddings, fids.shape[0]
+                )
+            new_tables[tname], new_acc[tname] = upd(
+                state.tables[tname], state.adagrad_acc[tname], fids, fgrads,
+                tcfg.sparse_learning_rate, tcfg.adagrad_eps,
+            )
+        new_state = _dc.replace(
+            state, step=state.step + 1, tables=new_tables, adagrad_acc=new_acc,
+            dense_params=new_dense, dense_opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def build(variant: str, batch_size: int, mode: str):
+    from bench import parse_variant, variant_compute_dtype
+
+    _dtype, sort, _bf16buf, _compact, bsk, _delta = parse_variant(variant)
+    mcfg = cfg_lib.two_tower_model_config(
+        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128,
+        layer_sizes=(128, 64), compute_dtype=variant_compute_dtype(variant),
+    )
+    tcfg = cfg_lib.TrainConfig(
+        batch_size=batch_size,
+        sorted_feature="user_id" if sort else None,
+        block_sorted_kernel=bsk,
+    )
+    feat = PackedFeaturizer(mcfg, pack_label=True,
+                            sort_feature="user_id" if sort else None)
+    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
+    pool_np = np.stack(
+        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
+    )
+    pool = jnp.asarray(pool_np)
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    core = make_ablated_step(mcfg, tcfg, dense_opt, mode)
+
+    def run_k(k):
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def run(state, pool, k):
+            def body(carry, i):
+                pb_ids = jax.lax.dynamic_index_in_dim(pool, i % POOL, keepdims=False)
+                batch = unpack_batch(
+                    PackedBatch(ids_raw=pb_ids, labels=jnp.zeros(0, jnp.int32)),
+                    mcfg, pack_label=True,
+                )
+                carry, out = core(carry, batch)
+                return carry, out["loss"]
+
+            state, losses = jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+            return state, losses[-1]
+
+        return run
+
+    return state, pool, run_k
+
+
+def time_mode(variant: str, batch_size: int, mode: str, reps: int = 5) -> float:
+    state, pool, run_k = build(variant, batch_size, mode)
+    r1, r2 = run_k(K), run_k(2 * K)
+    state, v = r1(state, pool, K)
+    float(v)
+    state, v = r2(state, pool, 2 * K)
+    float(v)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, v = r1(state, pool, K)
+        float(v)
+        t1 = time.perf_counter()
+        state, v = r2(state, pool, 2 * K)
+        float(v)
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    diffs.sort()
+    return diffs[len(diffs) // 2] / K * 1e3  # ms/step
+
+
+MODES = ("full", "no_user_upd", "no_item_upd", "no_updates", "fwd_only",
+         "gathers_only", "empty")
+
+
+def floors(batch_size: int) -> dict:
+    """Modeled per-phase floors (ms) at flagship shapes on v5e: HBM 819 GB/s,
+    MXU ~197 bf16 TFLOP/s. Streaming bytes only (no latency model)."""
+    d, hbm, mxu = 128, 819e9, 197e12
+    b = batch_size
+    user_tab = N_USERS * d * 4
+    item_tab = N_ITEMS * d * 4
+    rows_out = b * d * 4
+    return {
+        "gathers_hbm_ms": (user_tab + item_tab + 2 * rows_out) / hbm * 1e3,
+        "updates_hbm_ms": 2 * (user_tab + item_tab) / hbm * 1e3 + 2 * rows_out / hbm * 1e3,
+        "towers_mxu_ms": (6 * b * (2 * d * 128 + 128 * 64)) / mxu * 1e3,
+        "towers_hbm_ms": (b * d * 4 * 6) / hbm * 1e3,
+        "decode_hbm_ms": (b * 3 * 4 * 2) / hbm * 1e3,
+    }
+
+
+def main():
+    global K
+    if "--k" in sys.argv:
+        K = int(sys.argv[sys.argv.index("--k") + 1])
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    variants = ("float32+sorted+blockkernel",
+                "float32+sorted+blockkernel-bf16+bf16compute")
+    if "--variants" in sys.argv:
+        variants = tuple(sys.argv[sys.argv.index("--variants") + 1].split(","))
+    bs = 262_144
+    if "--bs" in sys.argv:
+        bs = int(sys.argv[sys.argv.index("--bs") + 1])
+    out = {"batch_size": bs, "floors_ms": floors(bs), "variants": {}}
+    for variant in variants:
+        t = {}
+        for mode in MODES:
+            t[mode] = round(time_mode(variant, bs, mode), 3)
+            print(json.dumps({"variant": variant, "mode": mode, "ms": t[mode]}),
+                  flush=True)
+        phases = {
+            "user_update": round(t["full"] - t["no_user_upd"], 3),
+            "item_update": round(t["full"] - t["no_item_upd"], 3),
+            "both_updates": round(t["full"] - t["no_updates"], 3),
+            "towers_bwd_dense_opt": round(t["no_updates"] - t["fwd_only"], 3),
+            "towers_fwd_loss": round(t["fwd_only"] - t["gathers_only"], 3),
+            "gathers": round(t["gathers_only"] - t["empty"], 3),
+            "decode_scan": round(t["empty"], 3),
+        }
+        out["variants"][variant] = {"raw_ms": t, "phases_ms": phases}
+        print(json.dumps({"variant": variant, "phases_ms": phases}), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
