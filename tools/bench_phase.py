@@ -54,7 +54,7 @@ from two_tower_recommender_model_tpu.train.step import (
     create_train_state,
 )
 
-N_USERS, N_ITEMS = 206_209, 49_688
+N_USERS, N_ITEMS = 206_209, 49_688  # --users/--items override (CPU smoke)
 POOL = 4
 K = 32  # --k overrides
 
@@ -241,9 +241,13 @@ def floors(batch_size: int) -> dict:
 
 
 def main():
-    global K
+    global K, N_USERS, N_ITEMS
     if "--k" in sys.argv:
         K = int(sys.argv[sys.argv.index("--k") + 1])
+    if "--users" in sys.argv:
+        N_USERS = int(sys.argv[sys.argv.index("--users") + 1])
+    if "--items" in sys.argv:
+        N_ITEMS = int(sys.argv[sys.argv.index("--items") + 1])
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     variants = ("float32+sorted+blockkernel",
                 "float32+sorted+blockkernel-bf16+bf16compute")
