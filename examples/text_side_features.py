@@ -19,7 +19,11 @@ import dataclasses
 import numpy as np
 
 
-def main(num_users=2000, num_items=500, text_dim=32, steps=200) -> dict:
+def main(num_users=2000, num_items=500, text_dim=32, steps=200,
+         precomputed_path=None) -> dict:
+    """`precomputed_path` (.npz or .parquet of product_id -> embedding — the
+    exact shape real `ai_query` output arrives in) replaces the n-gram
+    encoder as the text-feature source; None keeps the offline fallback."""
     import jax
     import jax.numpy as jnp
     import pandas as pd
@@ -40,9 +44,18 @@ def main(num_users=2000, num_items=500, text_dim=32, steps=200) -> dict:
         "department": [f"department_{i % 21}" for i in range(1, num_items + 1)],
         "aisle": [f"aisle_{i % 134}" for i in range(1, num_items + 1)],
     })
-    _, text_emb = build_product_text_features(products, dim=text_dim)
-    text_table = np.zeros((num_items + 1, text_dim), np.float32)
-    text_table[1:] = text_emb
+    if precomputed_path is not None:
+        from two_tower_recommender_model_tpu.data.text_features import (
+            load_precomputed_embeddings,
+        )
+
+        text_table = load_precomputed_embeddings(
+            precomputed_path, num_ids=num_items)
+        text_dim = text_table.shape[1]
+    else:
+        _, text_emb = build_product_text_features(products, dim=text_dim)
+        text_table = np.zeros((num_items + 1, text_dim), np.float32)
+        text_table[1:] = text_emb
 
     # 2. model: candidate tower takes id embedding + text dense input
     mcfg = cfg.two_tower_model_config(num_users + 1, num_items + 1,
@@ -81,6 +94,28 @@ def main(num_users=2000, num_items=500, text_dim=32, steps=200) -> dict:
 
 
 if __name__ == "__main__":
-    out = main()
+    import sys
+    import tempfile
+
+    if "--precomputed" in sys.argv:
+        # produce an embedding file in the ai_query-output shape, then run
+        # the whole pipeline through the ingestion path
+        from two_tower_recommender_model_tpu.data.text_features import (
+            embed_text,
+            save_precomputed_embeddings,
+        )
+
+        num_items, text_dim = 500, 32
+        emb = embed_text([f"organic product {i} pack" for i in range(1, num_items + 1)],
+                         dim=text_dim)
+        ext = ".parquet" if "--parquet" in sys.argv else ".npz"
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/product_embeddings{ext}"
+            save_precomputed_embeddings(
+                path, np.arange(1, num_items + 1), emb)
+            out = main(num_items=num_items, text_dim=text_dim,
+                       precomputed_path=path)
+    else:
+        out = main()
     assert out["recall_at_10"] > 3 * 10 / 500, out
     print("TEXT SIDE FEATURES OK")

@@ -238,3 +238,43 @@ def test_loader_column_projection(tmp_path, rng):
     loader = StreamLoader(str(tmp_path / "ds"), 25, shuffle=False, columns=["a", "label"])
     batch = next(iter(loader))
     assert set(batch) == {"a", "label"}
+
+
+def test_precomputed_embeddings_roundtrip(tmp_path):
+    """(id -> embedding) files in both ai_query-output shapes (.npz/.parquet)
+    round-trip into the dense [num_ids+1, D] table (row 0 = pad), with
+    validation on duplicates/sentinel-0/missing columns."""
+    from two_tower_recommender_model_tpu.data.text_features import (
+        load_precomputed_embeddings,
+        save_precomputed_embeddings,
+    )
+
+    rng = np.random.default_rng(4)
+    ids = np.array([3, 1, 7], np.int64)  # unordered, sparse
+    emb = rng.normal(size=(3, 16)).astype(np.float32)
+
+    for ext in (".npz", ".parquet"):
+        p = str(tmp_path / f"e{ext}")
+        save_precomputed_embeddings(p, ids, emb)
+        table = load_precomputed_embeddings(p, num_ids=10)
+        assert table.shape == (11, 16)
+        np.testing.assert_array_equal(table[3], emb[0])
+        np.testing.assert_array_equal(table[1], emb[1])
+        np.testing.assert_array_equal(table[7], emb[2])
+        np.testing.assert_array_equal(table[0], 0.0)  # pad sentinel
+        np.testing.assert_array_equal(table[2], 0.0)  # missing id -> zeros
+        # num_ids defaults to max(ids)
+        assert load_precomputed_embeddings(p).shape == (8, 16)
+
+    p = str(tmp_path / "bad.npz")
+    save_precomputed_embeddings(p, np.array([2, 2]), emb[:2])
+    with pytest.raises(ValueError, match="duplicate"):
+        load_precomputed_embeddings(p)
+    save_precomputed_embeddings(p, np.array([0, 1]), emb[:2])
+    with pytest.raises(ValueError, match="sentinel"):
+        load_precomputed_embeddings(p)
+    save_precomputed_embeddings(p, np.array([1, 9]), emb[:2])
+    with pytest.raises(ValueError, match="exceeds"):
+        load_precomputed_embeddings(p, num_ids=5)
+    with pytest.raises(ValueError, match="missing array"):
+        load_precomputed_embeddings(p, id_col="nope_id")

@@ -214,6 +214,47 @@ def test_text_side_features_end_to_end():
     assert out["recall_at_10"] > 3 * 10 / 120, out
 
 
+def test_text_side_features_precomputed_path(tmp_path):
+    """The same example through the PRECOMPUTED-embedding ingestion arm
+    (round-3: the shape real ai_query output arrives in) must reproduce the
+    n-gram arm exactly when the file carries the same vectors."""
+    import importlib.util
+    import os
+
+    from two_tower_recommender_model_tpu.data.text_features import (
+        save_precomputed_embeddings,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "text_side_features",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "text_side_features.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import pandas as pd
+
+    from two_tower_recommender_model_tpu.data.text_features import (
+        build_product_text_features,
+    )
+
+    n_items = 120
+    products = pd.DataFrame({
+        "product_id": np.arange(1, n_items + 1),
+        "product_name": [f"organic product {i} pack" for i in range(1, n_items + 1)],
+        "department": [f"department_{i % 21}" for i in range(1, n_items + 1)],
+        "aisle": [f"aisle_{i % 134}" for i in range(1, n_items + 1)],
+    })
+    _, emb = build_product_text_features(products, dim=16)
+    path = str(tmp_path / "emb.parquet")
+    save_precomputed_embeddings(path, np.arange(1, n_items + 1), emb)
+    base = mod.main(num_users=300, num_items=n_items, text_dim=16, steps=60)
+    pre = mod.main(num_users=300, num_items=n_items, text_dim=16, steps=60,
+                   precomputed_path=path)
+    assert pre["loss"] == base["loss"]
+    assert pre["recall_at_10"] == base["recall_at_10"]
+
+
 def test_export_dense_matches_forward():
     """Exported embedding with per-id dense == tower forward on a batch
     carrying the same dense values."""

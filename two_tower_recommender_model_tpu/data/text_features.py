@@ -68,6 +68,95 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+def save_precomputed_embeddings(
+    path: str,
+    ids: np.ndarray,  # [N] raw 1-based ids (0 is the missing sentinel)
+    embeddings: np.ndarray,  # [N, D]
+    id_col: str = "product_id",
+    emb_col: str = "text_emb",
+) -> None:
+    """Write an (id -> embedding) file in either of the shapes a hosted
+    encoder's output lands in (`02a_create_product_features.py:46-56` writes
+    `ai_query(...)` results to a feature table keyed by product_id):
+    `.npz` (keys = id_col, emb_col) or `.parquet` (id column + list column)."""
+    ids = np.asarray(ids)
+    embeddings = np.asarray(embeddings, np.float32)
+    if path.endswith(".npz"):
+        np.savez(path, **{id_col: ids, emb_col: embeddings})
+    elif path.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({id_col: ids, emb_col: list(embeddings)}), path
+        )
+    else:
+        raise ValueError(f"unsupported embedding file {path!r} (.npz|.parquet)")
+
+
+def load_precomputed_embeddings(
+    path: str,
+    id_col: str = "product_id",
+    emb_col: str = "text_emb",
+    num_ids: int | None = None,
+) -> np.ndarray:
+    """Ingest a precomputed (id -> embedding) file — the exact shape a real
+    LLM encoder's output arrives in (the reference materializes
+    `ai_query("databricks-gte-large-en")` vectors keyed by product_id,
+    `02a_create_product_features.py:46-121`) — into a dense
+    `[num_ids + 1, D]` f32 lookup table with row 0 as the missing/pad
+    sentinel, ready for `dense`-side tower input or
+    `export_feature_embeddings(candidate_dense=...)`.
+
+    Accepts `.npz` (arrays under `id_col`/`emb_col`, or `ids`/`embeddings`)
+    and `.parquet` (id column + list-of-float column). Validates: integer
+    ids >= 1, no duplicates, one embedding per id, consistent dim."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        def pick(primary, fallback):
+            if primary in data.files:
+                return np.asarray(data[primary])
+            if fallback in data.files:
+                return np.asarray(data[fallback])
+            raise ValueError(
+                f"{path}: missing array {primary!r} (or {fallback!r}); "
+                f"has {data.files}"
+            )
+        ids = pick(id_col, "ids")
+        emb = pick(emb_col, "embeddings")
+    elif path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        if id_col not in t.column_names or emb_col not in t.column_names:
+            raise ValueError(
+                f"{path}: needs columns {id_col!r} and {emb_col!r}; "
+                f"has {t.column_names}"
+            )
+        ids = t.column(id_col).to_numpy()
+        emb = np.stack(t.column(emb_col).to_pylist())
+    else:
+        raise ValueError(f"unsupported embedding file {path!r} (.npz|.parquet)")
+
+    ids = np.asarray(ids)
+    emb = np.asarray(emb, np.float32)
+    if not np.issubdtype(ids.dtype, np.integer):
+        raise ValueError(f"{id_col} must be integers, got {ids.dtype}")
+    if emb.ndim != 2 or len(ids) != len(emb):
+        raise ValueError(f"expected [N] ids + [N, D] embeddings, got "
+                         f"{ids.shape} / {emb.shape}")
+    if len(ids) and ids.min() < 1:
+        raise ValueError("ids must be >= 1 (0 is the missing-id sentinel)")
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError(f"{id_col} contains duplicate ids")
+    n = int(num_ids if num_ids is not None else (ids.max() if len(ids) else 0))
+    if len(ids) and ids.max() > n:
+        raise ValueError(f"id {ids.max()} exceeds num_ids={n}")
+    table = np.zeros((n + 1, emb.shape[1]), np.float32)
+    table[ids] = emb
+    return table
+
+
 def build_product_text_features(
     products,  # pd.DataFrame with product_id + text columns
     text_cols: tuple[str, ...] = ("department", "aisle", "product_name"),
