@@ -18,6 +18,7 @@ import _repo_path  # noqa: F401  (repo-root fallback when not pip-installed)
 import argparse
 import logging
 import os
+import re
 
 
 def parse_args():
@@ -80,7 +81,15 @@ def parse_args():
                     help="keep the state of the best epoch by this val metric "
                          "(e.g. val_auroc; names containing 'loss' minimize) — "
                          "the test eval and --export-dir use it instead of the "
-                         "final epoch")
+                         "final epoch. Retrieval metrics work too "
+                         "(val_recall_at_100, val_ndcg_at_10, ...): each "
+                         "epoch runs an exact top-k retrieval eval on a val-"
+                         "user subsample — the right selector for the "
+                         "sampled_softmax objective, whose val AUROC "
+                         "misleads (BENCH_FULL_SCALE.md)")
+    ap.add_argument("--retrieval-eval-users", type=int, default=2000,
+                    help="user subsample size for the per-epoch retrieval "
+                         "eval (--select-best val_recall_at_100 etc.)")
     ap.add_argument("--wire-cache-order",
                     choices=["auto", "loader", "rotate", "shuffle"],
                     default="auto",
@@ -555,6 +564,39 @@ def main():
                 pad_to=eval_pad_to,
             )
 
+    # --select-best on a RETRIEVAL metric (val_recall_at_100 etc.): per-epoch
+    # exact top-k on a user subsample feeds the selector — val AUROC is not a
+    # selection signal for the in-batch objective (BENCH_FULL_SCALE.md r2c)
+    retrieval_eval_fn = None
+    if args.select_best and any(
+        t in args.select_best for t in ("recall", "ndcg", "mrr", "precision", "hit")
+    ):
+        from two_tower_recommender_model_tpu.evaluation.retrieval import (
+            make_retrieval_eval_fn,
+            split_positives,
+        )
+
+        positives = split_positives(os.path.join(args.data_dir, "val"))
+        m = re.search(r"_at_(\d+)$", args.select_best)
+        k_sel = int(m.group(1)) if m else 100
+        params_fn = None
+        if sharded:
+            from two_tower_recommender_model_tpu.parallel.sharded import (
+                unshard_train_state,
+            )
+            from two_tower_recommender_model_tpu.train.step import full_params
+
+            def params_fn(state):
+                return full_params(unshard_train_state(state, plan, mcfg))
+
+        retrieval_eval_fn = make_retrieval_eval_fn(
+            mcfg, positives, k=max(k_sel, 100), ks=(k_sel,),
+            max_users=args.retrieval_eval_users, params_fn=params_fn,
+        )
+        print(f"per-epoch retrieval eval: {len(positives)} users with val "
+              f"positives, subsample {args.retrieval_eval_users}, "
+              f"selecting on {args.select_best}")
+
     state, results = train_val_test(
         state, train_step, eval_step, mcfg, tcfg, featurizer,
         train_batches_factory=train_factory,
@@ -564,6 +606,7 @@ def main():
         pad_multiple=n_devices if sharded else None, pad_to=eval_pad_to,
         start_epoch=start_epoch, train_epoch_fn=train_epoch_fn,
         select_best=args.select_best,
+        retrieval_eval_fn=retrieval_eval_fn,
     )
     print({k: round(v, 5) for k, v in results.items()})
 

@@ -280,3 +280,36 @@ def test_cli_compute_and_table_dtype(csv_dir, tmp_path):
     scorer = load_scorer(export_dir)
     p = scorer.predict({"user_id": [1, 2], "product_id": [3, 4]})
     assert p.shape == (2,) and np.all(np.isfinite(p))
+
+
+def test_cli_select_best_on_recall(csv_dir, tmp_path):
+    """--select-best val_recall_at_100 runs the per-epoch exact-top-k eval on
+    val positives and selects/export on it (sampled_softmax: the objective
+    whose AUROC misleads, BENCH_FULL_SCALE.md r2c)."""
+    out = str(tmp_path / "prepared")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+
+    export_dir = str(tmp_path / "model")
+    r = _run([
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "2", "--batch-size", "64",
+        "--embedding-dim", "8", "--layer-sizes", "16", "8",
+        "--loss", "sampled_softmax",
+        "--limit-train-batches", "8", "--limit-val-batches", "3",
+        "--limit-test-batches", "3",
+        "--select-best", "val_recall_at_100",
+        "--retrieval-eval-users", "50",
+        "--runs-root", str(tmp_path / "runs"),
+        "--export-dir", export_dir,
+    ])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "per-epoch retrieval eval" in r.stdout
+    assert "val_recall_at_100" in r.stdout
+    assert "best_epoch" in r.stdout
+    assert os.path.exists(os.path.join(export_dir, "params.npz"))

@@ -139,3 +139,56 @@ def test_select_best_returns_best_epoch_state():
     # unless the final epoch IS the best
     if best != 2:
         assert results["test_auroc"] != ref_results["test_auroc"]
+
+
+def test_select_best_on_retrieval_metric():
+    """retrieval_eval_fn merges per-epoch retrieval metrics into val metrics
+    and select_best can consume them — the state kept is the epoch whose
+    RECALL was best (AUROC misleads for the in-batch objective; the r2c
+    finding this hook exists for). Uses a scripted eval fn to pin selection
+    semantics, then the real make_retrieval_eval_fn for the metric surface."""
+    from two_tower_recommender_model_tpu.evaluation.retrieval import (
+        make_retrieval_eval_fn,
+    )
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=50, num_items=30, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(epochs=3, limit_val_batches=2, limit_test_batches=2,
+                               checkpoint_every_epochs=1)
+    ds = SyntheticClickstream(50, 30, seed=0)
+    feat = Featurizer(mcfg)
+
+    # scripted recall trajectory: best at epoch 1 (calls: baseline + 3 epochs)
+    recalls = iter([0.05, 0.10, 0.30, 0.20])
+
+    def scripted_eval(state):
+        return {"val_recall_at_100": next(recalls)}
+
+    snaps = []
+
+    def ckpt(s, epoch):
+        snaps.append(jax.tree.map(lambda x: np.asarray(x), s))
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    tstep = make_train_step(mcfg, tcfg, dense_opt)
+    estep = make_eval_step(mcfg, tcfg)
+    state, results = train_val_test(
+        state, tstep, estep, mcfg, tcfg, feat,
+        train_batches_factory=lambda ep: ds.batches(64, 6, split=f"e{ep}"),
+        val_batches_factory=lambda: ds.batches(64, 4, split="val"),
+        test_batches_factory=lambda: ds.batches(64, 4, split="test"),
+        checkpoint_fn=ckpt, select_best="val_recall_at_100",
+        retrieval_eval_fn=scripted_eval,
+    )
+    assert results["baseline_val_recall_at_100"] == 0.05
+    assert results["best_epoch"] == 1.0
+    for name in state.tables:
+        np.testing.assert_array_equal(
+            np.asarray(state.tables[name]), snaps[1].tables[name])
+
+    # the real hook: finite metrics with the val_ prefix from a TrainState
+    fn = make_retrieval_eval_fn(
+        mcfg, {1: [3, 4], 2: [5]}, k=10, ks=(10,), max_users=10)
+    m = fn(state)
+    assert set(m) == {"val_recall_at_10", "val_num_users"} or "val_recall_at_10" in m
+    assert np.isfinite(m["val_recall_at_10"])

@@ -252,6 +252,49 @@ def evaluate_retrieval(
     return metrics
 
 
+def make_retrieval_eval_fn(
+    model_cfg: ModelConfig,
+    user_positives: dict[int, list],
+    query_feature: str = "user_id",
+    candidate_feature: str = "product_id",
+    k: int = 100,
+    ks: tuple[int, ...] = (100,),
+    max_users: int = 2_000,
+    metric_prefix: str = "val_",
+    params_fn=None,
+    **eval_kwargs,
+):
+    """Per-epoch retrieval-metric hook for `train_val_test(retrieval_eval_fn=
+    ...)`: `fn(state) -> {"val_recall_at_100": ...}` via the exact top-k on a
+    user subsample (seconds at val scale — exact sharded top-k is cheap).
+
+    This exists because val AUROC is NOT a stopping/selection signal for the
+    in-batch sampled-softmax objective — measured at full scale, AUROC
+    declines while retrieval recall holds (BENCH_FULL_SCALE.md round-2c); the
+    reference's own headline metric is recall@k
+    (`04_evaluate_retrieval.py:202-226`). `select_best="val_recall_at_100"`
+    then keeps the epoch that actually retrieves best.
+
+    `params_fn(state) -> params` overrides the default `full_params` (e.g.
+    `unshard_train_state` composition for sharded states)."""
+
+    def fn(state) -> dict[str, float]:
+        if params_fn is not None:
+            params = params_fn(state)
+        else:
+            from two_tower_recommender_model_tpu.train.step import full_params
+
+            params = full_params(state)
+        m = evaluate_retrieval(
+            params, model_cfg, user_positives,
+            query_feature=query_feature, candidate_feature=candidate_feature,
+            k=k, max_users=max_users, ks=ks, **eval_kwargs,
+        )
+        return {f"{metric_prefix}{name}": v for name, v in m.items()}
+
+    return fn
+
+
 def per_user_retrieval_table(
     pred_ids: np.ndarray, users: np.ndarray, targets: list, ks: tuple[int, ...] = (100,)
 ):

@@ -134,6 +134,7 @@ def train_val_test(
     start_epoch: int = 0,
     train_epoch_fn: Callable | None = None,
     select_best: str | None = None,
+    retrieval_eval_fn: Callable[[TrainState], dict[str, float]] | None = None,
 ) -> tuple[TrainState, dict[str, float]]:
     """`start_epoch` supports resume: epochs [start_epoch, epochs) run, so a
     run restored from a mid-training checkpoint continues instead of
@@ -149,7 +150,14 @@ def train_val_test(
     the final test eval runs on it, and it is what's returned — the
     early-stopping/export-best role of the reference's Composer
     `save_folder`+`eval_interval` retention (`pytorch-model-training.py:
-    563-611`)."""
+    563-611`).
+
+    `retrieval_eval_fn(state) -> {"val_recall_at_100": ...}` (e.g.
+    `evaluation.retrieval.make_retrieval_eval_fn`) merges retrieval metrics
+    into every epoch's val metrics — and `select_best` may name one, since
+    AUROC misleads for the in-batch sampled-softmax objective (measured:
+    BENCH_FULL_SCALE.md round-2c) while recall@k is the reference's headline
+    (`04_evaluate_retrieval.py:202-226`)."""
     results: dict[str, float] = {}
     best_state, best_metric, best_epoch = None, None, None
 
@@ -162,6 +170,8 @@ def train_val_test(
         state, eval_step, val_batches_factory(), featurizer,
         train_cfg.limit_val_batches, "val", sharding, pad_multiple, pad_to,
     )
+    if retrieval_eval_fn is not None:
+        metrics.update(retrieval_eval_fn(state))
     log.info("baseline %s", metrics)
     results.update({f"baseline_{k}": v for k, v in metrics.items()})
     if logger is not None:
@@ -180,6 +190,8 @@ def train_val_test(
             state, eval_step, val_batches_factory(), featurizer,
             train_cfg.limit_val_batches, "val", sharding, pad_multiple, pad_to,
         )
+        if retrieval_eval_fn is not None:
+            metrics.update(retrieval_eval_fn(state))
         log.info("epoch %d train %s val %s", epoch, stats, metrics)
         results.update(metrics)
         results.update({k: v for k, v in stats.items()})
