@@ -53,7 +53,10 @@ def build(variant: str, batch_size: int):
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
-        loss="sampled_softmax" if "softmax" in tags else "bce",
+        loss="sampled_softmax" if "softmax" in tags or "softmaxscan" in tags
+             else "bce",
+        # '+softmaxscan' pins the scan-path softmax for kernel-vs-scan A/B
+        softmax_kernel="off" if "softmaxscan" in tags else "auto",
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)

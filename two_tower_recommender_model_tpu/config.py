@@ -208,8 +208,16 @@ class TrainConfig:
     # aggregation (summation order may differ from the scatter path at the
     # ulp level); "bfloat16" rounds the matmul operands for ~3x the MXU rate.
     # Tables with dim % 128 != 0, flat-id counts off the 512-chunk grid, or
-    # non-f32 storage fall back per-table. No-op for int8 tables.
+    # bf16 storage fall back per-table. int8 tables route through the
+    # quantized block kernels (raw int8 streaming; dequant/requant fused into
+    # the gather/epilogue).
     block_sorted_kernel: str = "off"
+    # "auto" | "on" | "off": the fused flash-style sampled-softmax kernel
+    # (`ops/softmax_kernel.py`) — keeps the O(B^2) score tiles in VMEM with
+    # an online logsumexp instead of the scan path's HBM round-trips. "auto"
+    # uses it on TPU for big aligned batches on the SINGLE-DEVICE step; the
+    # sharded step always uses the scan path (GSPMD partitions it).
+    softmax_kernel: str = "auto"
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1
 

@@ -41,6 +41,23 @@ def weighted_bce_with_logits(
     return bce_with_logits(logits, labels, weights)
 
 
+def _use_fused_softmax(b: int, d: int, implementation: str) -> bool:
+    """Route big batches to the fused Pallas kernel (flash-style online
+    logsumexp, ops/softmax_kernel.py): the scan path's [R, B] score blocks
+    round-trip HBM (~34 GB/step at bs=64k) while the kernel keeps every tile
+    in VMEM. "auto" = TPU + big aligned batch (CPU tests keep the scan path —
+    interpret-mode grids are slow); "on" forces it (interpret off-TPU)."""
+    from two_tower_recommender_model_tpu.ops.softmax_kernel import (
+        softmax_kernel_shapes_ok,
+    )
+
+    if implementation == "off" or not softmax_kernel_shapes_ok(b, d):
+        return False
+    if implementation == "on":
+        return True
+    return jax.default_backend() == "tpu" and b > 4096
+
+
 def in_batch_sampled_softmax(
     query_emb: jax.Array,  # [B, D]
     cand_emb: jax.Array,  # [B, D]
@@ -48,6 +65,7 @@ def in_batch_sampled_softmax(
     item_ids: jax.Array | None = None,  # [B] raw ids for accidental-hit masking
     log_q: jax.Array | None = None,  # [B] log sampling probability of each in-batch item
     temperature: float = 1.0,
+    implementation: str = "auto",  # "auto" | "on" | "off": fused Pallas kernel
 ) -> jax.Array:
     """Sampled softmax over in-batch negatives.
 
@@ -59,6 +77,14 @@ def in_batch_sampled_softmax(
     masked out (accidental hits).
     """
     b = query_emb.shape[0]
+    if _use_fused_softmax(b, query_emb.shape[1], implementation):
+        from two_tower_recommender_model_tpu.ops.softmax_kernel import (
+            sampled_softmax_fused,
+        )
+
+        return sampled_softmax_fused(
+            query_emb, cand_emb, labels, item_ids, log_q, temperature
+        )
     chunk = _auto_row_chunk(b)
     if chunk is not None:
         return _chunked_sampled_softmax(
@@ -173,6 +199,7 @@ def make_loss_fn(
     type_weights: tuple[float, ...] | None = None,
     type_onehot_start: int = 0,
     temperature: float = 1.0,
+    softmax_implementation: str = "auto",
 ):
     """Loss factory. For "sampled_softmax", `candidate_id_feature` names the
     batch feature whose first-slot ids identify the in-batch items (enables
@@ -210,21 +237,25 @@ def make_loss_fn(
             if candidate_id_feature is not None and candidate_id_feature in batch.features:
                 item_ids = batch.features[candidate_id_feature].ids[:, 0]
             loss = in_batch_sampled_softmax(
-                q, c, batch.labels, item_ids, log_q, temperature=temperature
+                q, c, batch.labels, item_ids, log_q, temperature=temperature,
+                implementation=softmax_implementation,
             )
             return loss, logits
         return loss_fn
     raise ValueError(f"unknown loss {name!r}")
 
 
-def loss_fn_from_config(train_cfg, model_cfg):
+def loss_fn_from_config(train_cfg, model_cfg, sharded: bool = False):
     """Build the training loss from TrainConfig + ModelConfig — the single
     selection point the train-step builders share (reference wires its loss
-    into the train task at `ray_tune_optuna_tuning_alex_test.py:359-376`)."""
+    into the train task at `ray_tune_optuna_tuning_alex_test.py:359-376`).
+    `sharded=True` (the multi-chip step builder) forces the scan-path softmax:
+    GSPMD partitions it, while the fused Pallas kernel has no sharding rule."""
     return make_loss_fn(
         train_cfg.loss,
         candidate_id_feature=model_cfg.candidate_tower.features[0],
         type_weights=train_cfg.loss_type_weights,
         type_onehot_start=train_cfg.loss_type_onehot_start,
         temperature=train_cfg.softmax_temperature,
+        softmax_implementation="off" if sharded else train_cfg.softmax_kernel,
     )

@@ -1,0 +1,356 @@
+"""Fused in-batch sampled-softmax kernels (flash-softmax for retrieval).
+
+The blockwise scan path (`models/losses.py:_chunked_sampled_softmax`) is
+HBM-bound: every [R, B] score block round-trips HBM for its logsumexp (~34 GB
+per step at bs=64k — 42 ms of traffic against a 5.6 ms MXU floor for the
+[B, B] matmul itself). These kernels stream q/c tiles and keep every score
+tile in VMEM with an ONLINE logsumexp (the flash-attention recurrence), so
+the O(B^2) scores never materialize:
+
+- `_lse_pos_fwd`: per-row (logsumexp_j s_ij, s_ii) over k tiles with running
+  (max, sum) rescaling;
+- backward: two recompute passes — q-block-major for dq (dq_i = sum_j
+  softmax_ij * g_i * c_j) and k-block-major for dc (dc_j = sum_i ... q_i) —
+  wired through `jax.custom_vjp` on `lse_and_pos`.
+
+Score semantics match the scan path exactly: s = (q @ c^T)/T, minus logQ,
+-1e9 on pad columns (>= n_valid) and accidental-hit columns (same item id,
+off-diagonal). Matmuls run single-pass bf16 operands with f32 accumulation —
+the SAME numerics class as the scan path's Precision.DEFAULT dots; the online
+rescaling reorders f32 adds vs a one-shot row logsumexp (1-ulp-scale diffs).
+
+This is the TPU answer to the north-star loss cost (SURVEY §7 hard-part 6);
+the reference has no analog (its BCE objective is O(B)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _score_tile(q_blk, ct_tile, logq_tile, ids_row_col, ids_col_row, wq, wk,
+                rq, ck, temperature, n_valid, use_ids, use_logq):
+    """Adjusted score tile [RQ, CK] for q block wq x key tile wk — the same
+    adjustment order as the scan path (temperature, logQ, pad mask, dup mask
+    excluding the diagonal)."""
+    s = jax.lax.dot_general(
+        q_blk.astype(jnp.bfloat16), ct_tile.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / temperature)
+    if use_logq:
+        s = s - logq_tile
+    rows = wq * rq + jax.lax.broadcasted_iota(jnp.int32, (rq, ck), 0)
+    cols = wk * ck + jax.lax.broadcasted_iota(jnp.int32, (rq, ck), 1)
+    eye = rows == cols
+    if n_valid is not None:
+        s = jnp.where(cols >= n_valid, NEG, s)
+    if use_ids:
+        dup = ids_row_col == ids_col_row  # [RQ, 1] == [1, CK]
+        s = jnp.where(dup & ~eye, NEG, s)
+    return s, eye
+
+
+def _fwd_kernel(q_ref, ct_ref, logq_ref, idr_ref, idc_ref,
+                lse_ref, pos_ref, m_scr, l_scr, p_scr, *,
+                rq, ck, nk, temperature, n_valid, use_ids, use_logq):
+    wq = pl.program_id(0)
+    wk = pl.program_id(1)
+
+    @pl.when(wk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        p_scr[:] = jnp.zeros_like(p_scr)
+
+    s, eye = _score_tile(
+        q_ref[:], ct_ref[:], logq_ref[0:1, :], idr_ref[:, 0:1], idc_ref[0:1, :],
+        wq, wk, rq, ck, temperature, n_valid, use_ids, use_logq,
+    )
+    p_scr[:] += jnp.sum(jnp.where(eye, s, 0.0), axis=1, keepdims=True)
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    l_scr[:] = l_scr[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(s - m_new), axis=1, keepdims=True
+    )
+    m_scr[:] = m_new
+
+    @pl.when(wk == nk - 1)
+    def _():
+        lse = m_scr[:] + jnp.log(l_scr[:])  # [RQ, 1]
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+        pos_ref[:] = jnp.broadcast_to(p_scr[:], pos_ref.shape)
+
+
+def _dq_kernel(q_ref, ct_ref, c_ref, logq_ref, idr_ref, idc_ref,
+               lse_ref, g_ref, dq_ref, acc_scr, *,
+               rq, ck, nk, temperature, n_valid, use_ids, use_logq):
+    """dq_i = (1/T) * sum_j g_i * softmax_ij * c_j  (q-block-major; the
+    diagonal g_pos term is added outside — it's elementwise in i)."""
+    wq = pl.program_id(0)
+    wk = pl.program_id(1)
+
+    @pl.when(wk == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s, _eye = _score_tile(
+        q_ref[:], ct_ref[:], logq_ref[0:1, :], idr_ref[:, 0:1], idc_ref[0:1, :],
+        wq, wk, rq, ck, temperature, n_valid, use_ids, use_logq,
+    )
+    p = jnp.exp(s - lse_ref[:, 0:1]) * g_ref[:, 0:1]  # [RQ, CK]
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(wk == nk - 1)
+    def _():
+        dq_ref[:] = acc_scr[:] * (1.0 / temperature)
+
+
+def _dc_kernel(q_ref, ct_ref, c_ref, logq_ref, idr_ref, idc_ref,
+               lse_ref, g_ref, dc_ref, acc_scr, *,
+               rq, ck, nq, temperature, n_valid, use_ids, use_logq):
+    """dc_j = (1/T) * sum_i g_i * softmax_ij * q_i  (k-block-major: the k
+    tile's accumulator stays in VMEM while q tiles stream)."""
+    wk = pl.program_id(0)
+    wq = pl.program_id(1)
+
+    @pl.when(wq == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s, _eye = _score_tile(
+        q_ref[:], ct_ref[:], logq_ref[0:1, :], idr_ref[:, 0:1], idc_ref[0:1, :],
+        wq, wk, rq, ck, temperature, n_valid, use_ids, use_logq,
+    )
+    p = jnp.exp(s - lse_ref[:, 0:1]) * g_ref[:, 0:1]  # [RQ, CK]
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16), q_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),  # [CK, D]
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(wq == nq - 1)
+    def _():
+        dc_ref[:] = acc_scr[:] * (1.0 / temperature)
+
+
+def _blocks(b: int, rq: int, ck: int) -> tuple[int, int]:
+    rq = min(rq, b)
+    ck = min(ck, b)
+    while b % rq:
+        rq //= 2
+    while b % ck:
+        ck //= 2
+    return rq, ck
+
+
+def softmax_kernel_shapes_ok(b: int, d: int) -> bool:
+    """Shapes the fused kernels tile cleanly: lane-dim-128-aligned embeddings
+    and a batch divisible by the minimum tile."""
+    return d % 128 == 0 and b % 128 == 0 and b >= 256
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+)
+def lse_and_pos(
+    q: jax.Array,  # [B, D] f32
+    c: jax.Array,  # [B, D] f32
+    ids_f: jax.Array,  # [B] f32 item ids (exact for ids < 2^24); pass zeros when unused
+    log_q: jax.Array,  # [B] f32; pass zeros when unused
+    temperature: float,
+    n_valid: int | None,
+    flags: tuple,  # (use_ids, use_logq) — static
+    interpret: bool | None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row (logsumexp_j s_ij, s_ii) of the adjusted in-batch score matrix,
+    computed without materializing it. Differentiable in (q, c)."""
+    lse, pos = _lse_pos_fwd_impl(q, c, ids_f, log_q, temperature, n_valid,
+                                 flags, interpret)
+    return lse, pos
+
+
+def _bcast128(x: jax.Array) -> jax.Array:
+    """[B] -> [B, 128]: sublane-oriented per-row scalars without 1-lane IO
+    (Mosaic-friendly; the 128x redundant bytes are ~0.04 ms at bs=64k)."""
+    return jnp.broadcast_to(x[:, None], (x.shape[0], 128))
+
+
+def _common_inputs(q, c, ids_f, log_q):
+    ct = c.T  # [D, B]
+    logq_row = log_q[None, :].astype(jnp.float32)  # [1, B]
+    ids_row = ids_f[None, :].astype(jnp.float32)  # [1, B] (column ids)
+    ids_col = _bcast128(ids_f.astype(jnp.float32))  # [B, 128] (row ids)
+    return ct, logq_row, ids_row, ids_col
+
+
+def _lse_pos_fwd_impl(q, c, ids_f, log_q, temperature, n_valid, flags,
+                      interpret, rq: int = 1024, ck: int = 512):
+    if interpret is None:
+        interpret = _auto_interpret()
+    use_ids, use_logq = flags
+    b, d = q.shape
+    rq, ck = _blocks(b, rq, ck)
+    nq, nk = b // rq, b // ck
+    ct, logq_row, ids_row, ids_col = _common_inputs(q, c, ids_f, log_q)
+
+    kern = functools.partial(
+        _fwd_kernel, rq=rq, ck=ck, nk=nk, temperature=temperature,
+        n_valid=n_valid, use_ids=use_ids, use_logq=use_logq,
+    )
+    lse_b, pos_b = pl.pallas_call(
+        kern,
+        grid=(nq, nk),
+        in_specs=[
+            pl.BlockSpec((rq, d), lambda wq, wk: (wq, 0)),      # q block
+            pl.BlockSpec((d, ck), lambda wq, wk: (0, wk)),      # cT tile
+            pl.BlockSpec((1, ck), lambda wq, wk: (0, wk)),      # logq tile
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),    # row ids
+            pl.BlockSpec((1, ck), lambda wq, wk: (0, wk)),      # col ids
+        ],
+        out_specs=[
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rq, 1), jnp.float32),
+            pltpu.VMEM((rq, 1), jnp.float32),
+            pltpu.VMEM((rq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(q.astype(jnp.float32), ct.astype(jnp.float32), logq_row, ids_col, ids_row)
+    return lse_b[:, 0], pos_b[:, 0]
+
+
+def _lse_pos_fwd(q, c, ids_f, log_q, temperature, n_valid, flags, interpret):
+    lse, pos = _lse_pos_fwd_impl(q, c, ids_f, log_q, temperature, n_valid,
+                                 flags, interpret)
+    return (lse, pos), (q, c, ids_f, log_q, lse)
+
+
+def _lse_pos_bwd(temperature, n_valid, flags, interpret, res, grads,
+                 rq: int = 1024, ck: int = 512):
+    """VJP: ds_ij = g_lse_i * softmax_ij + g_pos_i * [i == j]; two recompute
+    passes fold the softmax term; the diagonal term is elementwise."""
+    q, c, ids_f, log_q, lse = res
+    g_lse, g_pos = grads
+    if interpret is None:
+        interpret = _auto_interpret()
+    use_ids, use_logq = flags
+    b, d = q.shape
+    rq, ck = _blocks(b, rq, ck)
+    nq, nk = b // rq, b // ck
+    ct, logq_row, ids_row, ids_col = _common_inputs(q, c, ids_f, log_q)
+    lse_b = _bcast128(lse)
+    g_b = _bcast128(g_lse.astype(jnp.float32))
+
+    common = dict(
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, rq=rq, ck=ck, nk=nk,
+                          temperature=temperature, n_valid=n_valid,
+                          use_ids=use_ids, use_logq=use_logq),
+        grid=(nq, nk),
+        in_specs=[
+            pl.BlockSpec((rq, d), lambda wq, wk: (wq, 0)),
+            pl.BlockSpec((d, ck), lambda wq, wk: (0, wk)),
+            pl.BlockSpec((ck, d), lambda wq, wk: (wk, 0)),      # c tile
+            pl.BlockSpec((1, ck), lambda wq, wk: (0, wk)),
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),
+            pl.BlockSpec((1, ck), lambda wq, wk: (0, wk)),
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),    # lse
+            pl.BlockSpec((rq, 128), lambda wq, wk: (wq, 0)),    # g_lse
+        ],
+        out_specs=pl.BlockSpec((rq, d), lambda wq, wk: (wq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rq, d), jnp.float32)],
+        **common,
+    )(q.astype(jnp.float32), ct.astype(jnp.float32), c.astype(jnp.float32),
+      logq_row, ids_col, ids_row, lse_b, g_b)
+
+    dc = pl.pallas_call(
+        functools.partial(_dc_kernel, rq=rq, ck=ck, nq=nq,
+                          temperature=temperature, n_valid=n_valid,
+                          use_ids=use_ids, use_logq=use_logq),
+        grid=(nk, nq),
+        in_specs=[
+            pl.BlockSpec((rq, d), lambda wk, wq: (wq, 0)),
+            pl.BlockSpec((d, ck), lambda wk, wq: (0, wk)),
+            pl.BlockSpec((ck, d), lambda wk, wq: (wk, 0)),
+            pl.BlockSpec((1, ck), lambda wk, wq: (0, wk)),
+            pl.BlockSpec((rq, 128), lambda wk, wq: (wq, 0)),
+            pl.BlockSpec((1, ck), lambda wk, wq: (0, wk)),
+            pl.BlockSpec((rq, 128), lambda wk, wq: (wq, 0)),
+            pl.BlockSpec((rq, 128), lambda wk, wq: (wq, 0)),
+        ],
+        out_specs=pl.BlockSpec((ck, d), lambda wk, wq: (wk, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ck, d), jnp.float32)],
+        **common,
+    )(q.astype(jnp.float32), ct.astype(jnp.float32), c.astype(jnp.float32),
+      logq_row, ids_col, ids_row, lse_b, g_b)
+
+    # diagonal term: ds_ii = g_pos_i adds (1/T) * g_pos_i * c_i to dq_i and
+    # (1/T) * g_pos_i * q_i to dc_i (elementwise in i — no tile pass needed)
+    gp = (g_pos.astype(jnp.float32) / temperature)[:, None]
+    dq = dq + gp * c.astype(jnp.float32)
+    dc = dc + gp * q.astype(jnp.float32)
+    return (dq.astype(q.dtype), dc.astype(c.dtype),
+            jnp.zeros_like(ids_f), jnp.zeros_like(log_q))
+
+
+lse_and_pos.defvjp(_lse_pos_fwd, _lse_pos_bwd)
+
+
+def sampled_softmax_fused(
+    query_emb: jax.Array,  # [B, D]
+    cand_emb: jax.Array,  # [B, D]
+    labels: jax.Array,  # [B]
+    item_ids: jax.Array | None = None,  # [B] hashed ids (< 2^24)
+    log_q: jax.Array | None = None,  # [B]
+    temperature: float = 1.0,
+    n_valid: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in for the scan-path `_chunked_sampled_softmax`: mean over
+    label==1 rows of (lse_i - s_ii), with the O(B^2) scores fused in VMEM."""
+    b = query_emb.shape[0]
+    ids_f = (jnp.zeros((b,), jnp.float32) if item_ids is None
+             else item_ids.astype(jnp.float32))
+    lq = (jnp.zeros((b,), jnp.float32) if log_q is None
+          else log_q.astype(jnp.float32))
+    lse, pos = lse_and_pos(
+        query_emb.astype(jnp.float32), cand_emb.astype(jnp.float32), ids_f, lq,
+        temperature, n_valid, (item_ids is not None, log_q is not None),
+        interpret,
+    )
+    w = labels.astype(jnp.float32)
+    if n_valid is not None and n_valid < b:
+        w = w * (jnp.arange(b) < n_valid)
+    return ((lse - pos) * w).sum() / jnp.maximum(w.sum(), 1.0)
