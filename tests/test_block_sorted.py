@@ -451,3 +451,75 @@ def test_train_step_int8_block_sorted_matches_quantized_baseline():
         db = np.asarray(dequantize_table(state_b.tables[name]))
         np.testing.assert_allclose(da, db, atol=1e-2)
         assert state_b.tables[name].values.dtype == jnp.int8
+
+
+@pytest.mark.parametrize("n", [220, 16 * 11])
+def test_device_sorted_lookup_matches_take(n):
+    """device_sorted_lookup on UNSORTED ids (+ sentinels + duplicates) ==
+    jnp.take, EXACTLY (sort + exact block gather + exact row permute) — f32
+    and int8 storage."""
+    from two_tower_recommender_model_tpu.ops.block_sorted import (
+        device_sorted_lookup,
+    )
+    from two_tower_recommender_model_tpu.ops.quantized import quantize_table
+
+    rng = np.random.default_rng(21)
+    m = 3 * C
+    ids = np.concatenate(
+        [rng.integers(0, n, size=m - m // 8), np.full(m // 8, n)]
+    ).astype(np.int32)
+    rng.shuffle(ids)  # deliberately NOT sorted
+    table = rng.normal(size=(n, D)).astype(np.float32)
+
+    out = np.asarray(device_sorted_lookup(jnp.asarray(table), jnp.asarray(ids)))
+    safe = np.minimum(ids, n - 1)
+    exp = np.where((ids < n)[:, None], table[safe], 0.0)
+    np.testing.assert_array_equal(out, exp)
+
+    qt = quantize_table(jnp.asarray(table))
+    out_q = np.asarray(device_sorted_lookup(qt, jnp.asarray(ids)))
+    vals, scls = np.asarray(qt.values), np.asarray(qt.scales)
+    exp_q = np.where(
+        (ids < n)[:, None],
+        vals[safe].astype(np.float32) * (scls[safe][:, None] / np.float32(127.0)),
+        0.0,
+    )
+    np.testing.assert_allclose(out_q, exp_q, rtol=5e-7, atol=0.0)
+
+
+def test_train_step_device_sorted_gather_matches_baseline():
+    """device_sorted_gather=True: the UNSORTED item feature's forward gather
+    rides the device-sort block kernel; step numerics match the plain step
+    (gather rows exact; update summation-order tolerance)."""
+    import jax
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    mcfg = cfg_lib.two_tower_model_config(300, 80, embedding_dim=128)
+    ds = SyntheticClickstream(300, 80, seed=7)
+    feat = Featurizer(mcfg)
+    batches = [feat(ds.sample(256, start=i)) for i in range(3)]
+
+    def run(tcfg):
+        state, dense_opt = create_train_state(jax.random.key(5), mcfg, tcfg)
+        step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+        losses = []
+        for b in batches:
+            state, out = step(state, b)
+            losses.append(float(out["loss"]))
+        return state, losses
+
+    state_a, loss_a = run(cfg_lib.TrainConfig(block_sorted_kernel="float32"))
+    state_b, loss_b = run(cfg_lib.TrainConfig(block_sorted_kernel="float32",
+                                              device_sorted_gather=True))
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for name in state_a.tables:
+        np.testing.assert_allclose(
+            np.asarray(state_a.tables[name]), np.asarray(state_b.tables[name]),
+            rtol=1e-5, atol=1e-6,
+        )

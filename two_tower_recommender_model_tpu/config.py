@@ -212,6 +212,12 @@ class TrainConfig:
     # quantized block kernels (raw int8 streaming; dequant/requant fused into
     # the gather/epilogue).
     block_sorted_kernel: str = "off"
+    # Route UNSORTED single-slot features' forward gathers through the
+    # device-sort front-end (sort + block gather + inverse row permute,
+    # `ops/block_sorted.py:device_sorted_lookup`) when block_sorted_kernel is
+    # on. Off by default pending on-chip phase measurements (the XLA random
+    # gather vs sort+stream crossover depends on table size).
+    device_sorted_gather: bool = False
     # "auto" | "on" | "off": the fused flash-style sampled-softmax kernel
     # (`ops/softmax_kernel.py`) — keeps the O(B^2) score tiles in VMEM with
     # an online logsumexp instead of the scan path's HBM round-trips. "auto"

@@ -72,6 +72,7 @@ def pooled_embeddings(
     cfg: ModelConfig,
     block_sorted_feature: str | None = None,
     block_sorted_dtype: str = "float32",
+    device_sorted_features: tuple[str, ...] = (),
 ) -> dict[str, jax.Array]:
     """Per-feature pooled embeddings `{feature: [B, D_f]}` — the role of
     `self.ebc(kjt)` (`03_model_training.py:417`). Pooled outputs are cast to
@@ -82,7 +83,10 @@ def pooled_embeddings(
     gather through the block-sorted one-hot MXU kernel
     (`ops/block_sorted.py`) — valid ONLY when the batch rows arrive sorted by
     that feature's hashed id (`TrainConfig.sorted_feature` +
-    `block_sorted_kernel`); the train step is the sole caller that opts in."""
+    `block_sorted_kernel`); the train step is the sole caller that opts in.
+    `device_sorted_features` routes those (single-slot, UNSORTED) features'
+    gathers through the device-sort front-end (`device_sorted_lookup`: sort +
+    block gather + inverse row permute — `TrainConfig.device_sorted_gather`)."""
     compute_dtype = (
         jnp.dtype(cfg.compute_dtype)
         if cfg.compute_dtype != cfg.resolved_table_dtype
@@ -109,6 +113,22 @@ def pooled_embeddings(
                 rows = block_sorted_lookup(
                     table, feat.ids[:, 0], matmul_dtype=block_sorted_dtype
                 )
+            pooled = rows * feat.mask[:, :1].astype(rows.dtype)  # single-slot
+            out[fc.name] = (
+                pooled.astype(compute_dtype) if compute_dtype is not None else pooled
+            )
+            continue
+        if fc.name in device_sorted_features:
+            from two_tower_recommender_model_tpu.ops.block_sorted import (
+                device_sorted_lookup,
+            )
+
+            n = cfg.table(fc.table).num_embeddings
+            # mask==0 slots -> sentinel id (>= N) -> exact zero rows
+            sent = jnp.where(feat.mask[:, 0] > 0, feat.ids[:, 0], n)
+            rows = device_sorted_lookup(
+                tables[fc.table], sent, matmul_dtype=block_sorted_dtype
+            )
             pooled = rows * feat.mask[:, :1].astype(rows.dtype)  # single-slot
             out[fc.name] = (
                 pooled.astype(compute_dtype) if compute_dtype is not None else pooled

@@ -645,6 +645,39 @@ def block_sorted_rowwise_adagrad_fused_quantized(
     return new_vals, new_scl[0, :n], new_acc[0, :n].astype(acc.dtype)
 
 
+def device_sorted_lookup(
+    table,  # [N, D] f32 array or (values int8, scales f32) via QuantizedTable
+    flat_ids: jax.Array,  # [M] int32, ANY order (sentinel >= N -> zero row)
+    *,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> jax.Array:  # [M, D] f32 rows in the ORIGINAL batch order
+    """Unsorted-id front-end for the block-sorted GATHER — the forward-path
+    sibling of `train.optimizer.device_sorted_fused_adagrad`: device-sort the
+    ids, stream the table block-by-block through the one-hot MXU kernel, then
+    inverse-permute the [M, D] rows back to batch order. Turns the
+    latency-bound random gather of UNSORTED tables (e.g. the item table when
+    the host sort rides the user column) into streaming DMA + dense FLOPs +
+    one row permute. Dispatches int8 `QuantizedTable` storage to the raw-int8
+    kernel. Exactness matches the underlying kernel (f32 gather is exact)."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
+    m = flat_ids.shape[0]
+    sids, perm = jax.lax.sort(
+        (flat_ids.astype(jnp.int32), jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    if isinstance(table, QuantizedTable):
+        rows = block_sorted_lookup_quantized(
+            table.values, table.scales, sids, interpret=interpret
+        )
+    else:
+        rows = block_sorted_lookup(
+            table, sids, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+    inv = jnp.zeros((m,), jnp.int32).at[perm].set(jnp.arange(m, dtype=jnp.int32))
+    return jnp.take(rows, inv, axis=0)
+
+
 def block_sorted_rowwise_adagrad(
     table: jax.Array,
     acc: jax.Array,

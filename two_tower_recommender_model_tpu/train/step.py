@@ -197,6 +197,21 @@ def make_train_step(
                 f"table {sorted_table!r} is {model_cfg.table_dtype_of(sorted_table)}"
             )
 
+    def _device_sorted_features(batch: Batch) -> tuple[str, ...]:
+        """Unsorted single-slot features eligible for the device-sorted
+        GATHER (opt-in, `TrainConfig.device_sorted_gather`) — resolved at
+        trace time from the ACTUAL batch shapes."""
+        if bs_kernel == "off" or not train_cfg.device_sorted_gather:
+            return ()
+        return tuple(
+            fc.name for fc in model_cfg.features
+            if fc.max_ids_per_sample == 1
+            and fc.name != train_cfg.sorted_feature
+            and model_cfg.table_dtype_of(fc.table) in ("float32", "int8")
+            and _block_shapes_ok(model_cfg.table(fc.table).embedding_dim,
+                                 batch.features[fc.name].ids.shape[0])
+        )
+
     def step(state: TrainState, batch: Batch):
         pooled = two_tower.pooled_embeddings(
             state.tables,
@@ -206,6 +221,7 @@ def make_train_step(
                 train_cfg.sorted_feature if bs_kernel != "off" else None
             ),
             block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+            device_sorted_features=_device_sorted_features(batch),
         )
 
         # Streaming logQ: estimate each in-batch item's sampling probability
