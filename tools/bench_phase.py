@@ -79,12 +79,16 @@ def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
                 tot += batch.features[fc.name].ids.sum().astype(jnp.float32)
             return state, {"loss": tot}
 
+        ds_feats = ()
+        if bs_kernel != "off" and tcfg.device_sorted_gather:
+            ds_feats = ("product_id",)
         pooled = two_tower.pooled_embeddings(
             state.tables, batch, mcfg,
             block_sorted_feature=(
                 tcfg.sorted_feature if bs_kernel != "off" else None
             ),
             block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+            device_sorted_features=ds_feats,
         )
         if mode == "gathers_only":
             tot = sum(p.sum().astype(jnp.float32) for p in pooled.values())
@@ -166,6 +170,7 @@ def build(variant: str, batch_size: int, mode: str):
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         block_sorted_kernel=bsk,
+        device_sorted_gather="dsgather" in variant.split("+")[1:],
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)

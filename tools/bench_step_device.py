@@ -57,6 +57,9 @@ def build(variant: str, batch_size: int):
              else "bce",
         # '+softmaxscan' pins the scan-path softmax for kernel-vs-scan A/B
         softmax_kernel="off" if "softmaxscan" in tags else "auto",
+        # '+dsgather' routes unsorted single-slot gathers through the
+        # device-sort block-kernel front-end (device_sorted_lookup)
+        device_sorted_gather="dsgather" in tags,
     )
     feat = PackedFeaturizer(mcfg, pack_label=True,
                             sort_feature="user_id" if sort else None)
