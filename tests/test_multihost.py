@@ -553,3 +553,111 @@ def test_two_process_delta_wire_matches_single_process(tmp_path):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
                                rtol=1e-4, atol=1e-6)
+
+
+WORKER_INT8 = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from two_tower_recommender_model_tpu.parallel.launch import (
+    initialize_multi_host, per_host_loader_slice, put_global_batch)
+initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.parallel import (
+    make_mesh, make_sharded_train_step, plan_sharding, shard_train_state)
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+from two_tower_recommender_model_tpu.ops.quantized import dequantize_table
+from two_tower_recommender_model_tpu.train.step import create_train_state
+
+# int8 tables + block kernels WITHOUT sorted_feature: the device-sort
+# front-end works multi-host (no host sort required)
+mcfg = cfg_lib.two_tower_model_config(num_users=300, num_items=80, embedding_dim=128)
+mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3,
+                           block_sorted_kernel="float32")
+mesh = make_mesh(4, 1)
+plan = plan_sharding(mcfg, 4, force={"t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+state = shard_train_state(state, plan, mesh)
+step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+
+ds = SyntheticClickstream(300, 80, seed=9)
+feat = Featurizer(mcfg)
+host_index, num_hosts = per_host_loader_slice()
+B = 256
+for i in range(3):
+    cols = ds.sample(B, start=i)
+    lo = host_index * (B // num_hosts)
+    local_cols = {k: v[lo : lo + B // num_hosts] for k, v in cols.items()}
+    batch = put_global_batch(jax.tree.map(np.asarray, feat(local_cols)), mesh)
+    state, out = step(state, batch)
+
+loss = float(jax.device_get(out["loss"]))
+gathered = unshard_train_state(state, plan, mcfg)
+if pid == 0:
+    np.savez(os.path.join(out_dir, "result_int8.npz"),
+             loss=loss,
+             t_user=np.asarray(dequantize_table(gathered.tables["t_user_id"])),
+             t_item=np.asarray(dequantize_table(gathered.tables["t_product_id"])))
+print(f"worker {pid} done loss={loss}", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_int8_block_kernels_match_single_process(tmp_path):
+    """Round 3: int8 tables + block_sorted_kernel across 2 REAL processes —
+    every table update rides the device-sort front-end into the fused int8
+    kernel through cross-process collectives; dequantized result matches the
+    single-process step (int8 rounding tolerance)."""
+    port = _free_port()
+    worker_py = tmp_path / "worker_int8.py"
+    worker_py.write_text(WORKER_INT8)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+    result = np.load(tmp_path / "result_int8.npz")
+
+    import dataclasses
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.ops.quantized import dequantize_table
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=300, num_items=80,
+                                          embedding_dim=128)
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3,
+                               block_sorted_kernel="float32")
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ds = SyntheticClickstream(300, 80, seed=9)
+    feat = Featurizer(mcfg)
+    for i in range(3):
+        state, out = step(state, jax.tree.map(jnp.asarray, feat(ds.sample(256, start=i))))
+
+    np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(
+        result["t_user"], np.asarray(dequantize_table(state.tables["t_user_id"])),
+        atol=5e-3)
+    np.testing.assert_allclose(
+        result["t_item"], np.asarray(dequantize_table(state.tables["t_product_id"])),
+        atol=5e-3)
