@@ -248,24 +248,42 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
 
 
 def measure_h2d_health(mb_payload: float = 8.0) -> dict:
-    """Tunnel preflight: one 8MB H2D put + value fetch, so every recorded
+    """Tunnel preflight: STAGED H2D puts + value fetches, so every recorded
     bench carries the wire condition it ran under (the axon tunnel degrades
     to ~20-80 MB/s under contention vs ~1.4 GB/s healthy — a 3-5x swing on
-    every wire-bound number; DESIGN §5b)."""
+    every wire-bound number; DESIGN §5b).
+
+    Staged because a NEAR-DEAD wire (0.001-0.1 MB/s episodes observed) would
+    take an hour+ to move a single 8MB probe — which would hang the whole
+    bench at its own preflight. A 64KB probe goes first; each stage only
+    escalates (0.5MB, then `mb_payload`) while the wire looks fast enough to
+    finish the next stage within ~15s. The reported rate is the largest
+    completed stage's."""
     import numpy as np
     import jax
 
     rng = np.random.default_rng(0)
-    payload = rng.integers(0, 1 << 30,
-                           size=(max(int(mb_payload * 1e6) // 4, 1),),
-                           dtype=np.int32)
     jax.device_put(np.ones(8, np.float32)).block_until_ready()  # warm path
-    t0 = time.perf_counter()
-    dev = jax.device_put(payload)
-    _ = int(dev[-1])  # value fetch: proves the transfer completed remotely
-    dt = time.perf_counter() - t0
-    mb = payload.nbytes / 1e6
-    return {"mb": mb, "ms": round(dt * 1e3, 1), "mb_per_s": round(mb / dt, 1)}
+    out = None
+    for mb in (0.0625, 0.5, mb_payload):
+        if mb > mb_payload:
+            break
+        payload = rng.integers(0, 1 << 30,
+                               size=(max(int(mb * 1e6) // 4, 1),),
+                               dtype=np.int32)
+        t0 = time.perf_counter()
+        dev = jax.device_put(payload)
+        _ = int(dev[-1])  # value fetch: proves the transfer completed remotely
+        dt = time.perf_counter() - t0
+        out = {"mb": payload.nbytes / 1e6, "ms": round(dt * 1e3, 1),
+               "mb_per_s": round(payload.nbytes / 1e6 / dt, 2)}
+        if mb >= mb_payload:
+            break
+        next_mb = 0.5 if mb < 0.5 else mb_payload
+        if next_mb / max(out["mb_per_s"], 1e-6) > 15.0:
+            out["staged_early_stop"] = True  # next stage would stall the run
+            break
+    return out
 
 
 def measure_device_step(variant: str, batch_size: int, k: int = 16,
@@ -645,11 +663,12 @@ def main() -> None:
         ds_bs = batch_size
         if severe:
             # shrink the device-step batch until its one-time pool staging
-            # (pool_n=8 batches of int32 [B, slots]) fits ~10 min at the
+            # (pool_n=8 batches of int32 [B, slots]) fits ~5 min at the
             # observed wire rate — the (2K-K)-difference timing itself is
-            # wire-independent
-            rate = max(h2d["mb_per_s"], 0.01)
-            while ds_bs > 16384 and (8 * ds_bs * 2 * 4 / 1e6) / rate > 600:
+            # wire-independent. Floor 4096: a weak-but-real measurement beats
+            # hanging past the driver's patience on a near-zero wire.
+            rate = max(h2d["mb_per_s"], 0.001)
+            while ds_bs > 4096 and (8 * ds_bs * 2 * 4 / 1e6) / rate > 300:
                 ds_bs //= 2
             if ds_bs != batch_size:
                 print(f"# severe wire: device_step batch {batch_size} -> "
