@@ -287,7 +287,8 @@ def measure_h2d_health(mb_payload: float = 8.0) -> dict:
 
 
 def measure_device_step(variant: str, batch_size: int, k: int = 16,
-                        pool_n: int = 8, reps: int = 5) -> dict:
+                        pool_n: int = 8, reps: int = 5,
+                        device_pool: bool = False) -> dict:
     """Chip step capacity with the wire excluded: K chained train steps run
     inside ONE dispatch (`lax.scan` on donated state) over an on-device
     payload pool transferred once; the reported time is the (2K - K)
@@ -327,13 +328,25 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
     )
-    feat = PackedFeaturizer(mcfg, pack_label=True,
-                            sort_feature="user_id" if sort else None)
-    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
-                              noise=0.05, latent_dim=4)
-    pool = jnp.asarray(np.stack(
-        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(pool_n)]
-    ))  # [P, B, S], transferred once
+    if device_pool:
+        # NEAR-DEAD-wire mode: the pool is generated on device by a jitted
+        # jax.random program (same id marginals / sortedness / layout as the
+        # host featurizer path — data/device_pool.py), so nothing but the
+        # compiled program and scalar fetches cross the tunnel.
+        from two_tower_recommender_model_tpu.data.device_pool import (
+            device_batch_pool,
+        )
+
+        pool = device_batch_pool(mcfg, batch_size, pool_n,
+                                 pack_label=True, sort=sort, seed=0)
+    else:
+        feat = PackedFeaturizer(mcfg, pack_label=True,
+                                sort_feature="user_id" if sort else None)
+        ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0,
+                                  noise=0.05, latent_dim=4)
+        pool = jnp.asarray(np.stack(
+            [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(pool_n)]
+        ))  # [P, B, S], transferred once
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
@@ -377,6 +390,7 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
         "step_ms": round(per_step * 1e3, 3),
         "diff_windows_ms": [round(d * 1e3, 1) for d in sorted(diffs)],
         "losses": losses,
+        "pool": "device" if device_pool else "host",
         "roofline": check_roofline(
             eps, roofline_model(batch_size, table_dtype, wire_bytes=0.0),
             f"device_step[{variant}]"),
@@ -662,19 +676,13 @@ def main() -> None:
     if device_variant:
         ds_bs = batch_size
         if severe:
-            # shrink the device-step batch until its one-time pool staging
-            # (pool_n=8 batches of int32 [B, slots]) fits ~5 min at the
-            # observed wire rate — the (2K-K)-difference timing itself is
-            # wire-independent. Floor 4096: a weak-but-real measurement beats
-            # hanging past the driver's patience on a near-zero wire.
-            rate = max(h2d["mb_per_s"], 0.001)
-            while ds_bs > 4096 and (8 * ds_bs * 2 * 4 / 1e6) / rate > 300:
-                ds_bs //= 2
-            if ds_bs != batch_size:
-                print(f"# severe wire: device_step batch {batch_size} -> "
-                      f"{ds_bs} to bound pool staging", file=sys.stderr,
-                      flush=True)
-        ds_rec = measure_device_step(device_variant, ds_bs)
+            # NEAR-DEAD wire: generate the batch pool ON DEVICE
+            # (data/device_pool.py) — nothing but the compiled program and
+            # scalar fetches cross the tunnel, so the device step runs at
+            # the full flagship batch size regardless of wire health.
+            print("# severe wire: device_step uses an on-device-generated "
+                  "pool (no staging)", file=sys.stderr, flush=True)
+        ds_rec = measure_device_step(device_variant, ds_bs, device_pool=severe)
         device_rec = {"variant": device_variant, "batch_size": ds_bs, **ds_rec}
         print(f"# device_step[{device_variant}]: "
               f"{ds_rec['examples_per_sec']:.3g} ex/s ({ds_rec['step_ms']} ms/step) "
@@ -701,13 +709,15 @@ def main() -> None:
         record["device_step"] = device_rec
         # mixed-precision capacity: bf16 tower matmuls + bf16 block-kernel
         # operands (params/optimizer f32; full-scale recall parity in
-        # BENCH_FULL_SCALE.md). Skipped under a severe wire to bound the
-        # extra pool staging + Mosaic compiles.
+        # BENCH_FULL_SCALE.md). Runs under a severe wire too — the
+        # device-generated pool makes staging free (compiles are RPCs,
+        # unaffected by wire health).
         device_variant2 = os.environ.get(
             "BENCH_DEVICE_VARIANT2",
-            "" if severe else "float32+sorted+blockkernel-bf16+bf16compute")
+            "float32+sorted+blockkernel-bf16+bf16compute")
         if device_variant2:
-            ds2 = measure_device_step(device_variant2, ds_bs)
+            ds2 = measure_device_step(device_variant2, ds_bs,
+                                      device_pool=severe)
             record["device_step_bf16"] = {
                 "variant": device_variant2, "batch_size": ds_bs, **ds2}
             print(f"# device_step[{device_variant2}]: "
@@ -716,10 +726,10 @@ def main() -> None:
         # int8 capacity: raw int8 table streaming through the quantized block
         # kernels (round-3: int8 as a speed feature, not just memory).
         device_variant3 = os.environ.get(
-            "BENCH_DEVICE_VARIANT3",
-            "" if severe else "int8+sorted+blockkernel")
+            "BENCH_DEVICE_VARIANT3", "int8+sorted+blockkernel")
         if device_variant3:
-            ds3 = measure_device_step(device_variant3, ds_bs)
+            ds3 = measure_device_step(device_variant3, ds_bs,
+                                      device_pool=severe)
             record["device_step_int8"] = {
                 "variant": device_variant3, "batch_size": ds_bs, **ds3}
             print(f"# device_step[{device_variant3}]: "

@@ -57,6 +57,8 @@ from two_tower_recommender_model_tpu.train.step import (
 N_USERS, N_ITEMS = 206_209, 49_688  # --users/--items override (CPU smoke)
 POOL = 4
 K = 32  # --k overrides
+DEVICE_POOL = False  # --device-pool: generate pools on device (no H2D)
+_POOL_CACHE: dict = {}  # (sort, batch_size) -> device pool, shared by modes
 
 
 def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
@@ -172,13 +174,25 @@ def build(variant: str, batch_size: int, mode: str):
         block_sorted_kernel=bsk,
         device_sorted_gather="dsgather" in variant.split("+")[1:],
     )
-    feat = PackedFeaturizer(mcfg, pack_label=True,
-                            sort_feature="user_id" if sort else None)
-    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
-    pool_np = np.stack(
-        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
-    )
-    pool = jnp.asarray(pool_np)
+    cache_key = (bool(sort), batch_size)
+    if cache_key in _POOL_CACHE:
+        pool = _POOL_CACHE[cache_key]
+    elif DEVICE_POOL:
+        from two_tower_recommender_model_tpu.data.device_pool import (
+            device_batch_pool,
+        )
+
+        pool = device_batch_pool(mcfg, batch_size, POOL,
+                                 pack_label=True, sort=sort, seed=0)
+    else:
+        feat = PackedFeaturizer(mcfg, pack_label=True,
+                                sort_feature="user_id" if sort else None)
+        ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
+        pool_np = np.stack(
+            [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
+        )
+        pool = jnp.asarray(pool_np)
+    _POOL_CACHE[cache_key] = pool
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_ablated_step(mcfg, tcfg, dense_opt, mode)
@@ -246,7 +260,9 @@ def floors(batch_size: int) -> dict:
 
 
 def main():
-    global K, N_USERS, N_ITEMS
+    global K, N_USERS, N_ITEMS, DEVICE_POOL
+    if "--device-pool" in sys.argv:
+        DEVICE_POOL = True
     if "--k" in sys.argv:
         K = int(sys.argv[sys.argv.index("--k") + 1])
     if "--users" in sys.argv:

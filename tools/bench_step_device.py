@@ -35,6 +35,7 @@ from two_tower_recommender_model_tpu.train.step import create_train_state, make_
 N_USERS, N_ITEMS = 206_209, 49_688
 POOL = 8
 K = 32
+DEVICE_POOL = False  # --device-pool: generate the pool on device (no H2D)
 
 
 def build(variant: str, batch_size: int):
@@ -61,13 +62,21 @@ def build(variant: str, batch_size: int):
         # device-sort block-kernel front-end (device_sorted_lookup)
         device_sorted_gather="dsgather" in tags,
     )
-    feat = PackedFeaturizer(mcfg, pack_label=True,
-                            sort_feature="user_id" if sort else None)
-    ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
-    pool_np = np.stack(
-        [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
-    )
-    pool = jnp.asarray(pool_np)  # [P, B, S] transferred once
+    if DEVICE_POOL:
+        from two_tower_recommender_model_tpu.data.device_pool import (
+            device_batch_pool,
+        )
+
+        pool = device_batch_pool(mcfg, batch_size, POOL,
+                                 pack_label=True, sort=sort, seed=0)
+    else:
+        feat = PackedFeaturizer(mcfg, pack_label=True,
+                                sort_feature="user_id" if sort else None)
+        ds = SyntheticClickstream(num_users=N_USERS, num_items=N_ITEMS, seed=0)
+        pool_np = np.stack(
+            [feat(ds.sample(batch_size, start=i)).ids_raw for i in range(POOL)]
+        )
+        pool = jnp.asarray(pool_np)  # [P, B, S] transferred once
 
     state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
     core = make_train_step(mcfg, tcfg, dense_opt, donate=False, jit=False)
@@ -124,6 +133,9 @@ def time_variant(variant: str, batch_size: int, reps: int = 5):
 
 
 def main():
+    global DEVICE_POOL
+    if "--device-pool" in sys.argv:
+        DEVICE_POOL = True
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     out = []
     variants = ("f32", "f32+sorted", "f32+sorted+bf16buf")
