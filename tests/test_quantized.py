@@ -163,3 +163,24 @@ def test_quantized_dense_sorted_hint_identical(rng):
     np.testing.assert_array_equal(np.asarray(plain_t.values), np.asarray(fast_t.values))
     np.testing.assert_array_equal(np.asarray(plain_t.scales), np.asarray(fast_t.scales))
     np.testing.assert_allclose(np.asarray(plain_a), np.asarray(fast_a), rtol=1e-6)
+
+
+def test_gather_int8_rows_bitcast_identity():
+    """The int32-packed gather is byte-identical to the direct int8 take,
+    including 2D id arrays and the D % 4 != 0 fallback."""
+    import numpy as np
+    from two_tower_recommender_model_tpu.ops.quantized import gather_int8_rows
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(-127, 128, size=(37, 8), dtype=np.int8))
+    ids = jnp.asarray(rng.integers(0, 37, size=(11, 3), dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(gather_int8_rows(vals, ids)),
+        np.asarray(jnp.take(vals, ids, axis=0)),
+    )
+    vals5 = jnp.asarray(rng.integers(-127, 128, size=(16, 5), dtype=np.int8))
+    ids1 = jnp.asarray(rng.integers(0, 16, size=(7,), dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(gather_int8_rows(vals5, ids1)),
+        np.asarray(jnp.take(vals5, ids1, axis=0)),
+    )

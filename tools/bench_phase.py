@@ -63,14 +63,17 @@ _POOL_CACHE: dict = {}  # (sort, batch_size) -> device pool, shared by modes
 
 def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
     """The train step with phases removed. `mode`: full | no_user_upd |
-    no_item_upd | no_updates | fwd_only | gathers_only | empty. Mirrors
-    `train/step.py:make_train_step`'s flagship routing (sorted user table ->
-    fused block kernel; item table -> device-sort front-end) so `full`
-    matches the production step; ablations keep data deps alive (every
-    variant returns a loss-like scalar reduced from the live computation)."""
+    no_item_upd | no_updates | fwd_only | gathers_only | empty. Routing is
+    the PRODUCTION routing (`train.step.pick_table_update_fn`, shared with
+    make_train_step — covers f32, bf16-operand, and int8 variants), so
+    `full` matches the production step; ablations keep data deps alive
+    (every variant returns a loss-like scalar reduced from the live
+    computation)."""
+    from two_tower_recommender_model_tpu.train.step import validate_sorted_feature
+
     loss_fn = losses_lib.loss_fn_from_config(tcfg, mcfg)
     bs_kernel = tcfg.block_sorted_kernel
-    sorted_table = "t_user_id"
+    sorted_table = validate_sorted_feature(mcfg, tcfg)
     import dataclasses as _dc
 
     def step(state: TrainState, batch):
@@ -84,15 +87,22 @@ def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
         ds_feats = ()
         if bs_kernel != "off" and tcfg.device_sorted_gather:
             ds_feats = ("product_id",)
+        gather_cfg = mcfg
+        if mode in ("gather_user", "gather_item"):
+            # single-feature gather: production per-feature path, towers unused
+            want = "user_id" if mode == "gather_user" else "product_id"
+            gather_cfg = _dc.replace(
+                mcfg, features=tuple(f for f in mcfg.features if f.name == want)
+            )
         pooled = two_tower.pooled_embeddings(
-            state.tables, batch, mcfg,
+            state.tables, batch, gather_cfg,
             block_sorted_feature=(
                 tcfg.sorted_feature if bs_kernel != "off" else None
             ),
             block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
             device_sorted_features=ds_feats,
         )
-        if mode == "gathers_only":
+        if mode in ("gathers_only", "gather_user", "gather_item"):
             tot = sum(p.sum().astype(jnp.float32) for p in pooled.values())
             return state, {"loss": tot}
 
@@ -123,30 +133,18 @@ def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
             "no_item_upd": {"t_product_id"},
             "no_updates": {sorted_table, "t_product_id"},
         }.get(mode, set())
+        from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+        from two_tower_recommender_model_tpu.train.step import pick_table_update_fn
+
         for tname, (fids, fgrads) in _table_flat_grads(mcfg, batch, d_pooled).items():
             if tname in skip:
                 # keep d_pooled live without the update's cost
                 loss = loss + 0.0 * fgrads[0, 0]
                 continue
-            if tname == sorted_table and bs_kernel != "off":
-                from two_tower_recommender_model_tpu.ops.block_sorted import (
-                    block_sorted_rowwise_adagrad_fused,
-                )
-
-                upd = functools.partial(
-                    block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
-                )
-            elif bs_kernel != "off":
-                upd = functools.partial(
-                    opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
-                )
-            else:
-                upd = functools.partial(
-                    opt_lib.dense_rowwise_adagrad,
-                    ids_sorted=(tname == sorted_table),
-                ) if tname == sorted_table else opt_lib.pick_sparse_update(
-                    mcfg.table(tname).num_embeddings, fids.shape[0]
-                )
+            upd = pick_table_update_fn(
+                mcfg, tcfg, sorted_table, tname, fids.shape[0],
+                isinstance(state.tables[tname], QuantizedTable),
+            )
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname], state.adagrad_acc[tname], fids, fgrads,
                 tcfg.sparse_learning_rate, tcfg.adagrad_eps,
@@ -168,6 +166,10 @@ def build(variant: str, batch_size: int, mode: str):
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128,
         layer_sizes=(128, 64), compute_dtype=variant_compute_dtype(variant),
     )
+    if _dtype != "float32":
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, table_dtype=_dtype)
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
@@ -239,16 +241,20 @@ def time_mode(variant: str, batch_size: int, mode: str, reps: int = 5) -> float:
 
 
 MODES = ("full", "no_user_upd", "no_item_upd", "no_updates", "fwd_only",
-         "gathers_only", "empty")
+         "gathers_only", "gather_user", "gather_item", "empty")
 
 
-def floors(batch_size: int) -> dict:
+def floors(batch_size: int, table_dtype: str = "float32") -> dict:
     """Modeled per-phase floors (ms) at flagship shapes on v5e: HBM 819 GB/s,
-    MXU ~197 bf16 TFLOP/s. Streaming bytes only (no latency model)."""
+    MXU ~197 bf16 TFLOP/s. Streaming bytes only (no latency model).
+    int8 tables stream 1 B/elem + 4 B/row scales (+4 B/row again on the
+    update write-back, scales are rewritten)."""
     d, hbm, mxu = 128, 819e9, 197e12
     b = batch_size
-    user_tab = N_USERS * d * 4
-    item_tab = N_ITEMS * d * 4
+    elem = 1 if table_dtype == "int8" else 4
+    per_row_extra = 4 if table_dtype == "int8" else 0
+    user_tab = N_USERS * (d * elem + per_row_extra)
+    item_tab = N_ITEMS * (d * elem + per_row_extra)
     rows_out = b * d * 4
     return {
         "gathers_hbm_ms": (user_tab + item_tab + 2 * rows_out) / hbm * 1e3,
@@ -277,24 +283,37 @@ def main():
     bs = 262_144
     if "--bs" in sys.argv:
         bs = int(sys.argv[sys.argv.index("--bs") + 1])
+    modes = MODES
+    if "--modes" in sys.argv:  # targeted re-measures (phase diffs undefined)
+        modes = tuple(sys.argv[sys.argv.index("--modes") + 1].split(","))
     out = {"batch_size": bs, "floors_ms": floors(bs), "variants": {}}
     for variant in variants:
+        from bench import parse_variant as _pv
+
+        vfloors = floors(bs, _pv(variant)[0])
         t = {}
-        for mode in MODES:
+        for mode in modes:
             t[mode] = round(time_mode(variant, bs, mode), 3)
             print(json.dumps({"variant": variant, "mode": mode, "ms": t[mode]}),
                   flush=True)
-        phases = {
-            "user_update": round(t["full"] - t["no_user_upd"], 3),
-            "item_update": round(t["full"] - t["no_item_upd"], 3),
-            "both_updates": round(t["full"] - t["no_updates"], 3),
-            "towers_bwd_dense_opt": round(t["no_updates"] - t["fwd_only"], 3),
-            "towers_fwd_loss": round(t["fwd_only"] - t["gathers_only"], 3),
-            "gathers": round(t["gathers_only"] - t["empty"], 3),
-            "decode_scan": round(t["empty"], 3),
+        phases = {}
+        if modes == MODES:
+            phases = {
+                "user_update": round(t["full"] - t["no_user_upd"], 3),
+                "item_update": round(t["full"] - t["no_item_upd"], 3),
+                "both_updates": round(t["full"] - t["no_updates"], 3),
+                "towers_bwd_dense_opt": round(t["no_updates"] - t["fwd_only"], 3),
+                "towers_fwd_loss": round(t["fwd_only"] - t["gathers_only"], 3),
+                "gathers": round(t["gathers_only"] - t["empty"], 3),
+                "gather_user": round(t["gather_user"] - t["empty"], 3),
+                "gather_item": round(t["gather_item"] - t["empty"], 3),
+                "decode_scan": round(t["empty"], 3),
+            }
+            print(json.dumps({"variant": variant, "phases_ms": phases}),
+                  flush=True)
+        out["variants"][variant] = {
+            "raw_ms": t, "phases_ms": phases, "floors_ms": vfloors,
         }
-        out["variants"][variant] = {"raw_ms": t, "phases_ms": phases}
-        print(json.dumps({"variant": variant, "phases_ms": phases}), flush=True)
     print(json.dumps(out))
 
 

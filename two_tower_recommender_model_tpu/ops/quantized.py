@@ -57,12 +57,30 @@ def dequantize_table(qt: QuantizedTable) -> jax.Array:
     return qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
 
 
+def gather_int8_rows(values: jax.Array, ids: jax.Array) -> jax.Array:
+    """`jnp.take(values, ids, axis=0)` for an int8 [N, D] table, gathering
+    through an int32 bitcast view when D % 4 == 0.
+
+    XLA's TPU row gather on 1-byte elements measured 4.63 ms vs 2.91 ms for
+    the SAME row count on a 4-byte table 4x the size ([262k] rows from
+    [49688, 128]; tools/bench_phase.py gather_item) — packing 4 int8 into
+    one int32 lane gathers at native granularity, byte-identically."""
+    n, d = values.shape
+    if d % 4:
+        return jnp.take(values, ids, axis=0)
+    packed = jax.lax.bitcast_convert_type(
+        values.reshape(n, d // 4, 4), jnp.int32
+    )  # [N, D/4] int32
+    rows = jnp.take(packed, ids, axis=0)  # [..., D/4] int32
+    return jax.lax.bitcast_convert_type(rows, jnp.int8).reshape(*ids.shape, d)
+
+
 def quantized_pooled_lookup(
     qt: QuantizedTable,
     ids: jax.Array,  # [B, L]
     w: jax.Array,  # [B, L] weights (0 = dead slot)
 ) -> jax.Array:  # [B, D] f32
-    rows = jnp.take(qt.values, ids, axis=0).astype(jnp.float32)  # [B, L, D]
+    rows = gather_int8_rows(qt.values, ids).astype(jnp.float32)  # [B, L, D]
     scales = jnp.take(qt.scales, ids, axis=0) / 127.0  # [B, L]
     rows = rows * scales[..., None]
     return (rows * w[..., None]).sum(axis=1)
@@ -83,7 +101,7 @@ def quantized_rowwise_adagrad(
     n, d = qt.values.shape
     g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads, n)
 
-    rows_q = qt.values[safe].astype(jnp.float32)
+    rows_q = gather_int8_rows(qt.values, safe).astype(jnp.float32)
     row_scales = qt.scales[safe]
     rows = rows_q * (row_scales[:, None] / 127.0)
     acc_rows = acc[safe]

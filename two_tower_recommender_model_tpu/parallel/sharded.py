@@ -1129,7 +1129,9 @@ def make_quantized_sharded_lookup(mesh):
         local = ids_all - didx * rows
         ok = (local >= 0) & (local < rows) & (w_all != 0)
         safe = jnp.where(ok, local, 0)
-        emb = jnp.take(qt_shard.values, safe, axis=0).astype(jnp.float32)
+        from two_tower_recommender_model_tpu.ops.quantized import gather_int8_rows
+
+        emb = gather_int8_rows(qt_shard.values, safe).astype(jnp.float32)
         scales = jnp.take(qt_shard.scales, safe, axis=0) / 127.0
         emb = emb * scales[..., None] * jnp.where(ok, w_all, 0.0)[..., None]
         part = emb.sum(axis=1)

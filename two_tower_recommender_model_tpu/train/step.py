@@ -159,6 +159,95 @@ def auto_sorted_feature(model_cfg: ModelConfig) -> str | None:
     return best
 
 
+def pick_table_update_fn(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    sorted_table: str | None,
+    tname: str,
+    n_flat_ids: int,
+    quantized: bool,
+    sparse_update: Callable | None = None,
+) -> Callable:
+    """The PRODUCTION per-table update routing, shared by `make_train_step`
+    and the phase-ablation harness (`tools/bench_phase.py`) so ablated steps
+    cannot drift from the real one. Returns an update callable
+    `(table, acc, flat_ids, flat_grads, lr, eps) -> (table, acc)`.
+
+    Routing (in priority order): explicit `sparse_update` override; the
+    host-sorted table -> fused block-sorted kernel (quantized variant for
+    int8 storage); other block-kernel-eligible tables -> device-sort
+    front-end; otherwise the size-picked scatter/segment update, with the
+    `ids_sorted` fast path when the table rides the host sort."""
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        pick_quantized_update,
+        quantized_dense_rowwise_adagrad,
+    )
+
+    bs_kernel = train_cfg.block_sorted_kernel
+    sorted_buf = (
+        jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
+    )
+    if quantized:
+        upd = pick_quantized_update(
+            model_cfg.table(tname).num_embeddings, n_flat_ids
+        )
+    elif sparse_update is not None:
+        upd = sparse_update
+    else:
+        upd = opt_lib.pick_sparse_update(
+            model_cfg.table(tname).num_embeddings, n_flat_ids
+        )
+    if sparse_update is not None:
+        # explicit override wins over the block-kernel routing
+        # (quantized tables already picked their quantized variant)
+        pass
+    elif tname == sorted_table and bs_kernel != "off":
+        # fused single-kernel variant: aggregation + Adagrad epilogue
+        # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k);
+        # int8 storage gets the dequant/requant-in-epilogue variant
+        if quantized:
+            from two_tower_recommender_model_tpu.ops.block_sorted import (
+                block_sorted_rowwise_adagrad_fused_quantized,
+            )
+            from two_tower_recommender_model_tpu.ops.quantized import (
+                QuantizedTable,
+            )
+
+            def upd(qt, acc, fids, fgrads, lr, eps,
+                    _k=block_sorted_rowwise_adagrad_fused_quantized,
+                    _dt=bs_kernel):
+                new_v, new_s, new_a = _k(
+                    qt.values, qt.scales, acc, fids, fgrads, lr, eps,
+                    matmul_dtype=_dt,
+                )
+                return QuantizedTable(values=new_v, scales=new_s), new_a
+        else:
+            from two_tower_recommender_model_tpu.ops.block_sorted import (
+                block_sorted_rowwise_adagrad_fused,
+            )
+
+            upd = functools.partial(
+                block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
+            )
+    elif (
+        bs_kernel != "off"
+        and model_cfg.table_dtype_of(tname) in ("float32", "int8")
+        and _block_shapes_ok(model_cfg.table(tname).embedding_dim, n_flat_ids)
+    ):
+        # UNSORTED tables (only one feature rides the host sort):
+        # device-sort + permute + the same fused kernel — measured
+        # 5.46 -> 2.0 ms for the item table at bs=262k
+        # (tools/probe_item_paths.py); type-dispatches int8 storage
+        upd = functools.partial(
+            opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
+        )
+    elif tname == sorted_table and upd in (
+        opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
+    ):
+        upd = functools.partial(upd, ids_sorted=True, buffer_dtype=sorted_buf)
+    return upd
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -180,9 +269,6 @@ def make_train_step(
 
     cand_feature = model_cfg.candidate_tower.features[0]
     sorted_table = validate_sorted_feature(model_cfg, train_cfg)
-    sorted_buf = (
-        jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
-    )
     bs_kernel = train_cfg.block_sorted_kernel
     if bs_kernel not in ("off", "float32", "bfloat16"):
         raise ValueError(f"block_sorted_kernel must be off|float32|bfloat16, got {bs_kernel!r}")
@@ -247,77 +333,15 @@ def make_train_step(
         )
         new_dense = optax.apply_updates(state.dense_params, updates)
 
-        from two_tower_recommender_model_tpu.ops.quantized import (
-            QuantizedTable,
-            pick_quantized_update,
-        )
+        from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
         for tname, (fids, fgrads) in _table_flat_grads(model_cfg, batch, d_pooled).items():
-            if isinstance(state.tables[tname], QuantizedTable):
-                upd = pick_quantized_update(
-                    model_cfg.table(tname).num_embeddings, fids.shape[0]
-                )
-            elif sparse_update is not None:
-                upd = sparse_update
-            else:
-                upd = opt_lib.pick_sparse_update(
-                    model_cfg.table(tname).num_embeddings, fids.shape[0]
-                )
-            from two_tower_recommender_model_tpu.ops.quantized import (
-                quantized_dense_rowwise_adagrad,
+            upd = pick_table_update_fn(
+                model_cfg, train_cfg, sorted_table, tname, fids.shape[0],
+                isinstance(state.tables[tname], QuantizedTable), sparse_update,
             )
-
-            quantized = isinstance(state.tables[tname], QuantizedTable)
-            if sparse_update is not None:
-                # explicit override wins over the block-kernel routing
-                # (quantized tables already picked their quantized variant)
-                pass
-            elif tname == sorted_table and bs_kernel != "off":
-                # fused single-kernel variant: aggregation + Adagrad epilogue
-                # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k);
-                # int8 storage gets the dequant/requant-in-epilogue variant
-                if quantized:
-                    from two_tower_recommender_model_tpu.ops.block_sorted import (
-                        block_sorted_rowwise_adagrad_fused_quantized,
-                    )
-
-                    def upd(qt, acc, fids, fgrads, lr, eps,
-                            _k=block_sorted_rowwise_adagrad_fused_quantized,
-                            _dt=bs_kernel):
-                        new_v, new_s, new_a = _k(
-                            qt.values, qt.scales, acc, fids, fgrads, lr, eps,
-                            matmul_dtype=_dt,
-                        )
-                        return QuantizedTable(values=new_v, scales=new_s), new_a
-                else:
-                    from two_tower_recommender_model_tpu.ops.block_sorted import (
-                        block_sorted_rowwise_adagrad_fused,
-                    )
-
-                    upd = functools.partial(
-                        block_sorted_rowwise_adagrad_fused, matmul_dtype=bs_kernel
-                    )
-            elif (
-                bs_kernel != "off"
-                and model_cfg.table_dtype_of(tname) in ("float32", "int8")
-                and _block_shapes_ok(model_cfg.table(tname).embedding_dim,
-                                     fids.shape[0])
-            ):
-                # UNSORTED tables (only one feature rides the host sort):
-                # device-sort + permute + the same fused kernel — measured
-                # 5.46 -> 2.0 ms for the item table at bs=262k
-                # (tools/probe_item_paths.py); type-dispatches int8 storage
-                upd = functools.partial(
-                    opt_lib.device_sorted_fused_adagrad, matmul_dtype=bs_kernel
-                )
-            elif tname == sorted_table and upd in (
-                opt_lib.dense_rowwise_adagrad, quantized_dense_rowwise_adagrad
-            ):
-                upd = functools.partial(
-                    upd, ids_sorted=True, buffer_dtype=sorted_buf
-                )
             new_tables[tname], new_acc[tname] = upd(
                 state.tables[tname],
                 state.adagrad_acc[tname],
