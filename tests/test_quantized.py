@@ -184,3 +184,26 @@ def test_gather_int8_rows_bitcast_identity():
         np.asarray(gather_int8_rows(vals5, ids1)),
         np.asarray(jnp.take(vals5, ids1, axis=0)),
     )
+
+
+def test_gather_int8_rows_scales_fused_identity():
+    """The packed rows+scale gather returns byte-identical values and scales."""
+    import numpy as np
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        gather_int8_rows_scales,
+    )
+
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.integers(-127, 128, size=(23, 8), dtype=np.int8))
+    scales = jnp.asarray(rng.uniform(0.1, 3.0, size=23).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 23, size=(9, 2), dtype=np.int32))
+    got_v, got_s = gather_int8_rows_scales(vals, scales, ids)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(jnp.take(vals, ids, axis=0)))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(jnp.take(scales, ids, axis=0)))
+    # D % 4 != 0 fallback
+    vals5 = jnp.asarray(rng.integers(-127, 128, size=(13, 5), dtype=np.int8))
+    scl5 = jnp.asarray(rng.uniform(0.1, 3.0, size=13).astype(np.float32))
+    ids1 = jnp.asarray(rng.integers(0, 13, size=(6,), dtype=np.int32))
+    got_v5, got_s5 = gather_int8_rows_scales(vals5, scl5, ids1)
+    np.testing.assert_array_equal(np.asarray(got_v5), np.asarray(jnp.take(vals5, ids1, axis=0)))
+    np.testing.assert_array_equal(np.asarray(got_s5), np.asarray(jnp.take(scl5, ids1, axis=0)))

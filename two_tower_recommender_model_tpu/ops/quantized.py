@@ -59,12 +59,7 @@ def dequantize_table(qt: QuantizedTable) -> jax.Array:
 
 def gather_int8_rows(values: jax.Array, ids: jax.Array) -> jax.Array:
     """`jnp.take(values, ids, axis=0)` for an int8 [N, D] table, gathering
-    through an int32 bitcast view when D % 4 == 0.
-
-    XLA's TPU row gather on 1-byte elements measured 4.63 ms vs 2.91 ms for
-    the SAME row count on a 4-byte table 4x the size ([262k] rows from
-    [49688, 128]; tools/bench_phase.py gather_item) — packing 4 int8 into
-    one int32 lane gathers at native granularity, byte-identically."""
+    through an int32 bitcast view when D % 4 == 0 (byte-identical)."""
     n, d = values.shape
     if d % 4:
         return jnp.take(values, ids, axis=0)
@@ -75,14 +70,46 @@ def gather_int8_rows(values: jax.Array, ids: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(rows, jnp.int8).reshape(*ids.shape, d)
 
 
+def gather_int8_rows_scales(
+    values: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32
+    ids: jax.Array,  # any int shape
+) -> tuple[jax.Array, jax.Array]:  # ([..., D] int8, [...] f32)
+    """(values[ids], scales[ids]) as ONE fused row gather.
+
+    TPU random row gathers are BYTES-bound, and a separate per-id SCALE
+    gather is an elementwise random gather that costs more than the int8
+    row gather itself (measured on v5e at [262k] ids from [49688, 128]:
+    int8 rows 0.62 ms + scales 1.87 ms, production quantized take 4.53 ms
+    — vs 0.73 ms when the f32 scale's 4 bytes ride IN the gathered row;
+    tools/probe_gather_parts.py). Packing values+scale into a [N, D/4+1]
+    int32 view costs one cheap sequential stream over the table (~7 MB at
+    the item table) and makes the int8 gather 4x FASTER than the f32 row
+    gather — int8 as a speed feature (SURVEY §2.8.1). Byte-identical
+    values/scales; D % 4 != 0 falls back to the two plain takes."""
+    n, d = values.shape
+    if d % 4:
+        return jnp.take(values, ids, axis=0), jnp.take(scales, ids, axis=0)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(values.reshape(n, d // 4, 4), jnp.int32),
+            jax.lax.bitcast_convert_type(scales[:, None].astype(jnp.float32), jnp.int32),
+        ],
+        axis=1,
+    )  # [N, D/4 + 1] int32
+    rows = jnp.take(packed, ids.reshape(-1), axis=0)
+    vals = jax.lax.bitcast_convert_type(rows[:, : d // 4], jnp.int8)
+    scl = jax.lax.bitcast_convert_type(rows[:, d // 4], jnp.float32)
+    return vals.reshape(*ids.shape, d), scl.reshape(ids.shape)
+
+
 def quantized_pooled_lookup(
     qt: QuantizedTable,
     ids: jax.Array,  # [B, L]
     w: jax.Array,  # [B, L] weights (0 = dead slot)
 ) -> jax.Array:  # [B, D] f32
-    rows = gather_int8_rows(qt.values, ids).astype(jnp.float32)  # [B, L, D]
-    scales = jnp.take(qt.scales, ids, axis=0) / 127.0  # [B, L]
-    rows = rows * scales[..., None]
+    rows_q, scales = gather_int8_rows_scales(qt.values, qt.scales, ids)
+    rows = rows_q.astype(jnp.float32) * (scales / 127.0)[..., None]  # [B, L, D]
     return (rows * w[..., None]).sum(axis=1)
 
 
@@ -101,8 +128,8 @@ def quantized_rowwise_adagrad(
     n, d = qt.values.shape
     g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads, n)
 
-    rows_q = gather_int8_rows(qt.values, safe).astype(jnp.float32)
-    row_scales = qt.scales[safe]
+    rows_q, row_scales = gather_int8_rows_scales(qt.values, qt.scales, safe)
+    rows_q = rows_q.astype(jnp.float32)
     rows = rows_q * (row_scales[:, None] / 127.0)
     acc_rows = acc[safe]
     g2 = jnp.mean(g_seg * g_seg, axis=1)

@@ -1129,11 +1129,13 @@ def make_quantized_sharded_lookup(mesh):
         local = ids_all - didx * rows
         ok = (local >= 0) & (local < rows) & (w_all != 0)
         safe = jnp.where(ok, local, 0)
-        from two_tower_recommender_model_tpu.ops.quantized import gather_int8_rows
+        from two_tower_recommender_model_tpu.ops.quantized import (
+            gather_int8_rows_scales,
+        )
 
-        emb = gather_int8_rows(qt_shard.values, safe).astype(jnp.float32)
-        scales = jnp.take(qt_shard.scales, safe, axis=0) / 127.0
-        emb = emb * scales[..., None] * jnp.where(ok, w_all, 0.0)[..., None]
+        emb, scales = gather_int8_rows_scales(qt_shard.values, qt_shard.scales, safe)
+        emb = (emb.astype(jnp.float32) * (scales / 127.0)[..., None]
+               * jnp.where(ok, w_all, 0.0)[..., None])
         part = emb.sum(axis=1)
         out = jax.lax.psum_scatter(part, DATA_AXIS, scatter_dimension=0, tiled=True)
         return jax.lax.psum(out, MODEL_AXIS)
