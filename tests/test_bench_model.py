@@ -2,6 +2,7 @@
 variant grammar and the roofline refusal must stay locked."""
 
 import importlib.util
+import json
 import os
 
 import pytest
@@ -84,3 +85,22 @@ def test_persist_or_reference_latest(tmp_path):
     severe2 = {"value": 1.0, "wire_bound_skipped": True, "variants": {}}
     bench.persist_or_reference_latest(severe2, str(tmp_path / "missing.json"))
     assert "last_complete" not in severe2
+
+    # a complete-but-SLOWER run (congested wire) must NOT overwrite the
+    # faster record; it references it as last_complete instead
+    slower = dict(complete, value=3.1e6,
+                  variants={"f32+x": {"examples_per_sec": 3.1e6}})
+    slower.pop("recorded_at", None)
+    bench.persist_or_reference_latest(slower, p)
+    with open(p) as f:
+        kept = json.load(f)
+    assert kept["value"] == 19.7e6
+    assert slower["last_complete"]["value"] == 19.7e6
+
+    # a complete FASTER run does overwrite
+    faster = dict(complete, value=21.0e6)
+    faster.pop("recorded_at", None)
+    bench.persist_or_reference_latest(faster, p)
+    with open(p) as f:
+        kept = json.load(f)
+    assert kept["value"] == 21.0e6

@@ -199,6 +199,21 @@ def test_train_step_block_sorted_matches_baseline():
     ):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6)
 
+    # block_sorted_gather=False: plain XLA take forward + block-kernel
+    # updates. The forward gather is EXACT either way, so tables/losses stay
+    # in the same tolerance class as the full block-kernel step.
+    state_c, loss_c = run(
+        cfg_lib.TrainConfig(sorted_feature="user_id",
+                            block_sorted_kernel="float32",
+                            block_sorted_gather=False)
+    )
+    np.testing.assert_allclose(loss_a, loss_c, rtol=1e-5)
+    for name in state_a.tables:
+        np.testing.assert_allclose(
+            np.asarray(state_a.tables[name]), np.asarray(state_c.tables[name]),
+            rtol=1e-5, atol=1e-6,
+        )
+
 
 def test_block_sorted_without_sorted_feature_matches_baseline():
     """block_sorted_kernel WITHOUT a sorted_feature: every eligible table's

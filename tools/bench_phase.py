@@ -97,13 +97,26 @@ def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
         pooled = two_tower.pooled_embeddings(
             state.tables, batch, gather_cfg,
             block_sorted_feature=(
-                tcfg.sorted_feature if bs_kernel != "off" else None
+                tcfg.sorted_feature
+                if bs_kernel != "off" and tcfg.block_sorted_gather
+                else None
             ),
             block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
             device_sorted_features=ds_feats,
         )
         if mode in ("gathers_only", "gather_user", "gather_item"):
-            tot = sum(p.sum().astype(jnp.float32) for p in pooled.values())
+            # CONSUMER CLASS MATTERS: XLA picks a slow gather emitter when
+            # the gathered rows feed a plain reduction (~2.8 ms at
+            # [49688,128] f32) but a fast one when they feed a matmul
+            # (0.64 ms, tools/probe_fusion.py) — and the production consumer
+            # IS a matmul (the tower's first layer). Consume each pooled
+            # output through a tiny [D, 8] matmul (negligible FLOPs) so the
+            # ablation measures the production gather class, not the
+            # reduce-fused artifact that inflated the round-3 draft table.
+            tot = jnp.float32(0.0)
+            for p in pooled.values():
+                w = jnp.full((p.shape[1], 8), 1e-3, p.dtype)
+                tot += (p @ w).sum().astype(jnp.float32)
             return state, {"loss": tot}
 
         def loss_of(dense_params, pooled):
@@ -175,6 +188,7 @@ def build(variant: str, batch_size: int, mode: str):
         sorted_feature="user_id" if sort else None,
         block_sorted_kernel=bsk,
         device_sorted_gather="dsgather" in variant.split("+")[1:],
+        block_sorted_gather="xlagather" not in variant.split("+")[1:],
     )
     cache_key = (bool(sort), batch_size)
     if cache_key in _POOL_CACHE:

@@ -61,6 +61,10 @@ def build(variant: str, batch_size: int):
         # '+dsgather' routes unsorted single-slot gathers through the
         # device-sort block-kernel front-end (device_sorted_lookup)
         device_sorted_gather="dsgather" in tags,
+        # '+xlagather' keeps block-kernel UPDATES but plain XLA takes for
+        # forward gathers (the fast matmul-consumer gather class,
+        # tools/probe_fusion.py)
+        block_sorted_gather="xlagather" not in tags,
     )
     if DEVICE_POOL:
         from two_tower_recommender_model_tpu.data.device_pool import (

@@ -26,7 +26,7 @@ K = 64
 
 
 def time_take(m: int, d: int, dtype: str, scatter: bool = False,
-              reps: int = 5) -> float:
+              reps: int = 5, bitcast: bool = False) -> float:
     dt = jnp.dtype(dtype)
 
     @functools.partial(jax.jit, static_argnums=(2,))
@@ -36,8 +36,17 @@ def time_take(m: int, d: int, dtype: str, scatter: bool = False,
             # rotate the permutation each step so dispatch payloads/work
             # differ; the rotation is O(m) int32, negligible next to the take
             perm = jnp.roll(perm, 1)
-            if scatter:
+            if scatter and bitcast:
+                xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+                y = jnp.zeros_like(xi).at[perm].set(xi)
+                y = jax.lax.bitcast_convert_type(y, x.dtype)
+            elif scatter:
                 y = jnp.zeros_like(x).at[perm].set(x)
+            elif bitcast:
+                # f32 -> int32 view, gather at int granularity, view back
+                y = jax.lax.bitcast_convert_type(
+                    jnp.take(jax.lax.bitcast_convert_type(x, jnp.int32),
+                             perm, axis=0), x.dtype)
             else:
                 y = jnp.take(x, perm, axis=0)
             return (y, perm), y[0, 0].astype(jnp.float32)
@@ -75,19 +84,20 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     out = []
     cases = [
-        (M, 128, "float32", False),
-        (M, 64, "float32", False),
-        (M, 32, "float32", False),
-        (M, 128, "bfloat16", False),
-        (M, 64, "bfloat16", False),
-        (M, 1, "float32", False),
-        (M, 128, "float32", True),  # scatter variant of the 128-dim crossing
-        (M, 64, "float32", True),
+        (M, 128, "float32", False, False),
+        (M, 128, "int32", False, False),
+        (M, 128, "float32", False, True),   # f32 table, int32-bitcast gather
+        (M, 64, "int32", False, False),
+        (M, 32, "int32", False, False),
+        (M, 128, "bfloat16", False, False),
+        (M, 128, "float32", True, False),   # scatter variant of the crossing
+        (M, 128, "int32", True, False),
+        (M, 128, "float32", True, True),    # f32 scatter through int32 view
     ]
-    for m, d, dtype, scatter in cases:
-        ms = time_take(m, d, dtype, scatter)
+    for m, d, dtype, scatter, bc in cases:
+        ms = time_take(m, d, dtype, scatter, bitcast=bc)
         rec = {"rows": m, "dim": d, "dtype": dtype,
-               "op": "scatter" if scatter else "take",
+               "op": ("scatter" if scatter else "take") + ("+bitcast" if bc else ""),
                "ms": round(ms, 3),
                "gb_per_s": round(2 * m * d * jnp.dtype(dtype).itemsize / ms / 1e6, 1)}
         out.append(rec)

@@ -212,6 +212,13 @@ class TrainConfig:
     # quantized block kernels (raw int8 streaming; dequant/requant fused into
     # the gather/epilogue).
     block_sorted_kernel: str = "off"
+    # When block_sorted_kernel is on, also route the sorted feature's FORWARD
+    # gather through the block kernel (True, default) or keep the plain XLA
+    # take for forwards while the UPDATES use the block kernels (False).
+    # A/B knob: XLA's gather emitter is fast when the gathered rows feed a
+    # matmul — the production consumer (tools/probe_fusion.py) — so the
+    # block-kernel forward gather may not pay for itself at every shape.
+    block_sorted_gather: bool = True
     # Route UNSORTED single-slot features' forward gathers through the
     # device-sort front-end (sort + block gather + inverse row permute,
     # `ops/block_sorted.py:device_sorted_lookup`) when block_sorted_kernel is

@@ -745,7 +745,11 @@ def make_sharded_train_step(
                 )
     _, pooled_embeddings = make_sharded_forward(
         model_cfg, mesh, plan,
-        block_sorted_feature=(train_cfg.sorted_feature if bs_kernel != "off" else None),
+        block_sorted_feature=(
+            train_cfg.sorted_feature
+            if bs_kernel != "off" and train_cfg.block_sorted_gather
+            else None
+        ),
         block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
     )
     sharded_update = make_sharded_update(

@@ -304,7 +304,9 @@ def make_train_step(
             batch,
             model_cfg,
             block_sorted_feature=(
-                train_cfg.sorted_feature if bs_kernel != "off" else None
+                train_cfg.sorted_feature
+                if bs_kernel != "off" and train_cfg.block_sorted_gather
+                else None
             ),
             block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
             device_sorted_features=_device_sorted_features(batch),
