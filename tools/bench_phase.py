@@ -109,14 +109,18 @@ def make_ablated_step(mcfg, tcfg, dense_opt, mode: str):
             # the gathered rows feed a plain reduction (~2.8 ms at
             # [49688,128] f32) but a fast one when they feed a matmul
             # (0.64 ms, tools/probe_fusion.py) — and the production consumer
-            # IS a matmul (the tower's first layer). Consume each pooled
-            # output through a tiny [D, 8] matmul (negligible FLOPs) so the
-            # ablation measures the production gather class, not the
-            # reduce-fused artifact that inflated the round-3 draft table.
+            # IS a matmul (the tower's first layer: [B,128] @ [128,128] in
+            # the variant's compute dtype). A [D, 8] consumer is NOT enough:
+            # its 8 output lanes (< the 128-lane tile) re-trigger the slow
+            # emitter for f32 (measured gathers_only 4.50 > fwd_only 2.57 —
+            # impossible unless the consumer class differs from the towers).
+            # Use the production-shaped [D, 128] matmul in the tower compute
+            # dtype (0.04 ms MXU at bs=262k — negligible vs the gather).
             tot = jnp.float32(0.0)
+            cdt = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else jnp.float32
             for p in pooled.values():
-                w = jnp.full((p.shape[1], 8), 1e-3, p.dtype)
-                tot += (p @ w).sum().astype(jnp.float32)
+                w = jnp.full((p.shape[1], 128), 1e-3, cdt)
+                tot += (p.astype(cdt) @ w).sum().astype(jnp.float32)
             return state, {"loss": tot}
 
         def loss_of(dense_params, pooled):

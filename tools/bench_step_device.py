@@ -49,6 +49,12 @@ def build(variant: str, batch_size: int):
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64),
         compute_dtype=variant_compute_dtype(variant),
     )
+    if _dtype not in ("float32", "f32"):
+        # 'int8+...'/'bfloat16+...' prefixes set the TABLE storage dtype
+        # (bench_phase.py treats the prefix the same way)
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, table_dtype=_dtype)
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,

@@ -41,17 +41,19 @@ def weighted_bce_with_logits(
     return bce_with_logits(logits, labels, weights)
 
 
-def _use_fused_softmax(b: int, d: int, implementation: str) -> bool:
+def _use_fused_softmax(b: int, d: int, implementation: str,
+                       b_local: int | None = None) -> bool:
     """Route big batches to the fused Pallas kernel (flash-style online
     logsumexp, ops/softmax_kernel.py): the scan path's [R, B] score blocks
     round-trip HBM (~34 GB/step at bs=64k) while the kernel keeps every tile
     in VMEM. "auto" = TPU + big aligned batch (CPU tests keep the scan path —
-    interpret-mode grids are slow); "on" forces it (interpret off-TPU)."""
+    interpret-mode grids are slow); "on" forces it (interpret off-TPU).
+    `b_local` is the per-shard row count in the sharded route (None = b)."""
     from two_tower_recommender_model_tpu.ops.softmax_kernel import (
         softmax_kernel_shapes_ok,
     )
 
-    if implementation == "off" or not softmax_kernel_shapes_ok(b, d):
+    if implementation == "off" or not softmax_kernel_shapes_ok(b, d, b_local):
         return False
     if implementation == "on":
         return True
@@ -182,6 +184,73 @@ def _chunked_sampled_softmax(q, c, labels, item_ids, log_q, temperature, r,
     return tot / jnp.maximum(cnt, 1.0)
 
 
+def sharded_in_batch_sampled_softmax(
+    mesh,
+    query_emb: jax.Array,  # [B, D] batch-sharded over the data axis
+    cand_emb: jax.Array,  # [B, D] batch-sharded
+    labels: jax.Array,  # [B]
+    item_ids: jax.Array | None = None,  # [B]
+    log_q: jax.Array | None = None,  # [B]
+    temperature: float = 1.0,
+    implementation: str = "auto",
+) -> jax.Array:
+    """Multi-chip in-batch sampled softmax via the fused kernel under
+    shard_map: each data shard all_gathers the candidate embeddings (the only
+    cross-shard operand, [B, D] — the ids/logq rows are [B] scalars) and runs
+    its LOCAL [B_local, B] score stripe through the flash kernel with
+    `row_offset = axis_index * B_local`, so the O(B^2) work is partitioned
+    with zero redundancy. Per-shard (num, den) partials are summed OUTSIDE
+    the shard_map (plain GSPMD autodiff; the all_gather's transpose is the
+    psum_scatter that routes each shard's dc back to its owner).
+
+    Falls back to the GSPMD scan path when the kernel is gated off
+    (`implementation`, shape limits, small batches on "auto")."""
+    b, d = query_emb.shape
+    from two_tower_recommender_model_tpu.parallel.mesh import DATA_AXIS
+
+    ndata = mesh.shape[DATA_AXIS]
+    b_local = b // ndata if b % ndata == 0 else 0
+    if not (b_local and _use_fused_softmax(b, d, implementation, b_local)):
+        return in_batch_sampled_softmax(
+            query_emb, cand_emb, labels, item_ids, log_q,
+            temperature=temperature, implementation="off",
+        )
+    from jax.sharding import PartitionSpec as P
+
+    from two_tower_recommender_model_tpu.ops.softmax_kernel import (
+        sampled_softmax_fused_parts,
+    )
+
+    use_ids, use_lq = item_ids is not None, log_q is not None
+    ids_in = item_ids if use_ids else jnp.zeros((b,), jnp.int32)
+    lq_in = log_q if use_lq else jnp.zeros((b,), jnp.float32)
+
+    def local(q_l, c_l, lab_l, ids_l, lq_l):
+        c_g = jax.lax.all_gather(c_l, DATA_AXIS, axis=0, tiled=True)
+        ids_g = (jax.lax.all_gather(ids_l, DATA_AXIS, axis=0, tiled=True)
+                 if use_ids else None)
+        lq_g = (jax.lax.all_gather(lq_l, DATA_AXIS, axis=0, tiled=True)
+                if use_lq else None)
+        off = jax.lax.axis_index(DATA_AXIS) * q_l.shape[0]
+        num, den = sampled_softmax_fused_parts(
+            q_l, c_g, lab_l,
+            row_item_ids=ids_l if use_ids else None,
+            col_item_ids=ids_g,
+            log_q=lq_g, temperature=temperature, row_offset=off,
+        )
+        return num[None], den[None]
+
+    nums, dens = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )(query_emb, cand_emb, labels, ids_in, lq_in)
+    return nums.sum() / jnp.maximum(dens.sum(), 1.0)
+
+
 def item_log_q_from_counts(counts: jax.Array, item_ids: jax.Array) -> jax.Array:
     """logQ per in-batch item from a corpus count table (empirical sampling
     probability) — the standard popularity-bias correction for in-batch
@@ -200,6 +269,7 @@ def make_loss_fn(
     type_onehot_start: int = 0,
     temperature: float = 1.0,
     softmax_implementation: str = "auto",
+    mesh=None,
 ):
     """Loss factory. For "sampled_softmax", `candidate_id_feature` names the
     batch feature whose first-slot ids identify the in-batch items (enables
@@ -236,26 +306,39 @@ def make_loss_fn(
             item_ids = None
             if candidate_id_feature is not None and candidate_id_feature in batch.features:
                 item_ids = batch.features[candidate_id_feature].ids[:, 0]
-            loss = in_batch_sampled_softmax(
-                q, c, batch.labels, item_ids, log_q, temperature=temperature,
-                implementation=softmax_implementation,
-            )
+            if mesh is not None:
+                loss = sharded_in_batch_sampled_softmax(
+                    mesh, q, c, batch.labels, item_ids, log_q,
+                    temperature=temperature,
+                    implementation=softmax_implementation,
+                )
+            else:
+                loss = in_batch_sampled_softmax(
+                    q, c, batch.labels, item_ids, log_q, temperature=temperature,
+                    implementation=softmax_implementation,
+                )
             return loss, logits
         return loss_fn
     raise ValueError(f"unknown loss {name!r}")
 
 
-def loss_fn_from_config(train_cfg, model_cfg, sharded: bool = False):
+def loss_fn_from_config(train_cfg, model_cfg, sharded: bool = False, mesh=None):
     """Build the training loss from TrainConfig + ModelConfig — the single
     selection point the train-step builders share (reference wires its loss
     into the train task at `ray_tune_optuna_tuning_alex_test.py:359-376`).
-    `sharded=True` (the multi-chip step builder) forces the scan-path softmax:
-    GSPMD partitions it, while the fused Pallas kernel has no sharding rule."""
+    `sharded=True` with a `mesh` routes the sampled-softmax through the
+    shard_map fused kernel (`sharded_in_batch_sampled_softmax` — each shard
+    computes its local [B_local, B] score stripe); without a mesh the sharded
+    build forces the GSPMD-partitioned scan path."""
     return make_loss_fn(
         train_cfg.loss,
         candidate_id_feature=model_cfg.candidate_tower.features[0],
         type_weights=train_cfg.loss_type_weights,
         type_onehot_start=train_cfg.loss_type_onehot_start,
         temperature=train_cfg.softmax_temperature,
-        softmax_implementation="off" if sharded else train_cfg.softmax_kernel,
+        softmax_implementation=(
+            ("off" if mesh is None else train_cfg.softmax_kernel)
+            if sharded else train_cfg.softmax_kernel
+        ),
+        mesh=mesh if sharded else None,
     )

@@ -710,7 +710,8 @@ def make_sharded_train_step(
     data-sharded batch => XLA inserts the psum)."""
     from two_tower_recommender_model_tpu.train.step import validate_sorted_feature
 
-    loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg, sharded=True)
+    loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg, sharded=True,
+                                             mesh=mesh)
     sorted_table = validate_sorted_feature(model_cfg, train_cfg)
     bs_kernel = train_cfg.block_sorted_kernel
     if bs_kernel not in ("off", "float32", "bfloat16"):
