@@ -105,6 +105,23 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def leading_dip(eps, frac=0.8, max_skip=2):
+    """Not-yet-steady leading windows: the first 1-2 windows run while the
+    prefetch pipeline (depth 3) is still filling — on a DEGRADED wire their
+    macro payloads stage at wire pace instead of overlapping compute,
+    depressing them 2-3x below the steady windows (VERDICT r3 weak #7:
+    [8.8M, 8.4M, 20.1M, 20.2M, 19.9M] under a 13 MB/s preflight). Only a
+    short PREFIX may be excluded, at least 3 steady windows must remain,
+    and the exclusion is reported in the record."""
+    if len(eps) < 4:
+        return 0
+    med = _median(eps[max_skip:])
+    k = 0
+    while k < min(max_skip, len(eps) - 3) and eps[k] < frac * med:
+        k += 1
+    return k
+
+
 def parse_variant(spec: str) -> tuple[str, bool, bool, bool, str, bool]:
     """'float32+sorted+compact+delta+blockkernel' -> (dtype, sorted,
     bf16 buffer, compact wire, block_sorted_kernel mode, delta wire).
@@ -202,8 +219,11 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
 
     # Payload distinctness: pool size COPRIME with the macro size AND larger
     # than the macro count, so the stacked [K, B] payload of every macro in
-    # the run is a different byte pattern.
-    n_macros = warmup + windows * per_window
+    # the run is a different byte pattern. The macro budget reserves
+    # EXTENSION headroom (up to `windows` extra) for the leading-dip case
+    # below.
+    n_windows_max = 2 * windows
+    n_macros = warmup + n_windows_max * per_window
     pool_n = max(macro + 5, n_macros + 1)
     import math
 
@@ -220,6 +240,7 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
     window_times, window_losses = [], []
     n = 0
     t0 = None
+    target = windows
     for mb in prefetch_to_device(macro_stream(), lambda x: x, prefetch=3):
         state, out = train_step(state, mb)
         n += 1
@@ -230,14 +251,25 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
                 window_times.append(now - t0)
                 window_losses.append(round(loss, 5))
             t0 = now
+            if len(window_times) >= target:
+                eps_now = [per_window * macro * batch_size / t
+                           for t in window_times]
+                skip = leading_dip(eps_now)
+                if skip and len(window_times) - skip < windows:
+                    # extend so the median still covers `windows` STEADY
+                    # windows (bounded by the reserved macro budget)
+                    target = min(n_windows_max, windows + skip)
+                else:
+                    break
     window_eps = [per_window * macro * batch_size / t for t in window_times]
-    eps = _median(window_eps)
+    skip = leading_dip(window_eps)
+    eps = _median(window_eps[skip:])
     if not (window_losses[-1] < window_losses[0]):
         raise RuntimeError(
             f"loss did not decrease across windows ({window_losses}) — "
             "steps may not have executed; refusing to report."
         )
-    return {
+    rec = {
         "examples_per_sec": eps,
         "windows_examples_per_sec": [round(e, 1) for e in window_eps],
         "window_losses": window_losses,
@@ -245,6 +277,13 @@ def measure_hot_loop(variant: str, batch_size: int, macro: int, windows: int,
             eps, roofline_model(batch_size, table_dtype, wire_bytes),
             f"hot_loop[{variant}]"),
     }
+    if skip:
+        rec["warmup_windows_excluded"] = skip
+        rec["warmup_note"] = (
+            f"first {skip} window(s) ran before the prefetch pipeline "
+            "reached steady state (payload staging not yet overlapped); "
+            "excluded from the median, shown in windows_examples_per_sec")
+    return rec
 
 
 def measure_h2d_health(mb_payload: float = 8.0) -> dict:
@@ -316,17 +355,24 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
     )
 
     table_dtype, sort, bf16buf, _compact, bsk, _delta = parse_variant(variant)
+    tags = variant.split("+")[1:]
     mcfg = cfg_lib.two_tower_model_config(
         num_users=N_USERS, num_items=N_ITEMS, embedding_dim=EMBED_DIM, layer_sizes=LAYERS,
         compute_dtype=variant_compute_dtype(variant),
     )
     if table_dtype != "float32":
         mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
+    # '+softmax' trains the NORTH-STAR in-batch sampled-softmax objective
+    # (fused flash kernel under "auto" on TPU); '+softmaxscan' pins the scan
+    # path for kernel-vs-scan A/B (tools/bench_step_device.py tags).
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
+        loss=("sampled_softmax" if ("softmax" in tags or "softmaxscan" in tags)
+              else "bce"),
+        softmax_kernel="off" if "softmaxscan" in tags else "auto",
     )
     if device_pool:
         # NEAR-DEAD-wire mode: the pool is generated on device by a jitted
@@ -557,6 +603,8 @@ def persist_or_reference_latest(record: dict, latest_path: str | None = None) ->
             "device_step_bf16", {}).get("examples_per_sec"),
         "device_step_int8_examples_per_sec": last.get(
             "device_step_int8", {}).get("examples_per_sec"),
+        "device_step_softmax_examples_per_sec": last.get(
+            "device_step_softmax", {}).get("examples_per_sec"),
         "from_disk_examples_per_sec": last.get(
             "from_disk", {}).get("examples_per_sec"),
         "note": ("this run's wire-bound paths were skipped/degraded; these "
@@ -745,6 +793,22 @@ def main() -> None:
             print(f"# device_step[{device_variant3}]: "
                   f"{ds3['examples_per_sec']:.3g} ex/s ({ds3['step_ms']} ms/step) "
                   f"losses={ds3['losses']}", file=sys.stderr, flush=True)
+        # NORTH-STAR objective capacity: in-batch sampled softmax through the
+        # fused flash kernel (O(B^2 D) score work — runs at its own batch
+        # size, 64k: the B=262k score matrix would be ~16x the step). The
+        # scan-vs-kernel A/B lives in tools/bench_step_device.py (+softmax /
+        # +softmaxscan); this row pins the fused config in every artifact.
+        device_variant_sm = os.environ.get(
+            "BENCH_DEVICE_VARIANT_SM", "float32+sorted+blockkernel+softmax")
+        if device_variant_sm:
+            sm_bs = int(os.environ.get("BENCH_SOFTMAX_BATCH_SIZE", 65536))
+            ds4 = measure_device_step(device_variant_sm, sm_bs,
+                                      device_pool=severe)
+            record["device_step_softmax"] = {
+                "variant": device_variant_sm, "batch_size": sm_bs, **ds4}
+            print(f"# device_step[{device_variant_sm}] bs={sm_bs}: "
+                  f"{ds4['examples_per_sec']:.3g} ex/s ({ds4['step_ms']} ms/step) "
+                  f"losses={ds4['losses']}", file=sys.stderr, flush=True)
     if record is None:
         raise RuntimeError(
             "nothing measured: wire-bound paths skipped (severe degradation) "
@@ -775,7 +839,54 @@ def main() -> None:
             }
 
     persist_or_reference_latest(record)
-    print(json.dumps(record))
+    # full record always lands on disk; stdout carries a COMPACT line — the
+    # r3 driver run recorded rc:0 but parsed:null because the full record
+    # outgrew its stdout capture window (ADVICE r3)
+    run_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_RUN.json")
+    try:
+        with open(run_path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError as e:
+        print(f"# could not write {run_path}: {e}", file=sys.stderr, flush=True)
+    print(json.dumps(compact_record(record)))
+
+
+def compact_record(record: dict) -> dict:
+    """One parseable stdout line: headline + per-path scalars only (window
+    arrays, rooflines, losses stay in BENCH_RUN.json / BENCH_LATEST.json)."""
+    out = {k: record[k] for k in
+           ("metric", "value", "unit", "vs_baseline", "batch_size",
+            "headline_dtype", "wire_bound_skipped") if k in record}
+    h2d = record.get("h2d_preflight", {})
+    out["h2d_mb_per_s"] = h2d.get("mb_per_s")
+    out["h2d_degraded"] = h2d.get("degraded")
+    if record.get("variants"):
+        out["variants_examples_per_sec"] = {
+            dt: v.get("examples_per_sec")
+            for dt, v in record["variants"].items()}
+        hv = record["variants"].get(record.get("headline_dtype"), {})
+        if hv.get("warmup_windows_excluded"):
+            out["warmup_windows_excluded"] = hv["warmup_windows_excluded"]
+    for key in ("device_step", "device_step_bf16", "device_step_int8",
+                "device_step_softmax"):
+        if key in record:
+            out[key] = {
+                "examples_per_sec": record[key].get("examples_per_sec"),
+                "step_ms": record[key].get("step_ms"),
+            }
+            if record[key].get("batch_size") != record.get("batch_size"):
+                out[key]["batch_size"] = record[key].get("batch_size")
+    if "from_disk" in record:
+        out["from_disk_examples_per_sec"] = record["from_disk"].get(
+            "examples_per_sec")
+        if "wire_cache" in record["from_disk"]:
+            out["wire_cache_examples_per_sec"] = record["from_disk"][
+                "wire_cache"].get("examples_per_sec")
+    if "last_complete" in record:
+        out["last_complete_value"] = record["last_complete"].get("value")
+    out["full_record"] = "BENCH_RUN.json"
+    return out
 
 
 if __name__ == "__main__":

@@ -104,3 +104,61 @@ def test_persist_or_reference_latest(tmp_path):
     with open(p) as f:
         kept = json.load(f)
     assert kept["value"] == 21.0e6
+
+
+def test_leading_dip_detection():
+    from bench import leading_dip
+
+    # the VERDICT r3 weak-#7 shape: first two windows at 0.42x
+    assert leading_dip([8.83e6, 8.41e6, 20.1e6, 20.2e6, 19.9e6]) == 2
+    # one slow leader
+    assert leading_dip([9e6, 20.1e6, 20.2e6, 19.9e6, 20.0e6]) == 1
+    # steady runs are untouched
+    assert leading_dip([20.1e6, 20.2e6, 19.9e6, 20.0e6, 20.1e6]) == 0
+    # a SLOW TAIL is never excluded (only a prefix may be)
+    assert leading_dip([20.1e6, 20.2e6, 19.9e6, 8.0e6, 8.1e6]) == 0
+    # too few windows -> no exclusion
+    assert leading_dip([8e6, 20e6, 20e6]) == 0
+    # at least 3 steady windows must remain
+    assert leading_dip([8e6, 8e6, 20e6, 20e6]) == 1
+
+
+def test_compact_record_shape():
+    """The stdout line must stay parseable within the driver's capture
+    window: scalars only, no window arrays/rooflines (ADVICE r3)."""
+    import json
+
+    from bench import compact_record
+
+    record = {
+        "metric": "two_tower_train_examples_per_sec_1chip",
+        "value": 19940000.0, "unit": "examples/s", "vs_baseline": 738.5,
+        "batch_size": 262144, "headline_dtype": "float32+sorted",
+        "h2d_preflight": {"mb_per_s": 13.4, "degraded": True},
+        "variants": {
+            "float32+sorted": {
+                "examples_per_sec": 19940000.0,
+                "windows_examples_per_sec": [1.0] * 10,
+                "window_losses": [0.7] * 10,
+                "roofline": {"hbm_utilization": 0.1},
+                "warmup_windows_excluded": 2,
+            },
+        },
+        "device_step": {"examples_per_sec": 23220000.0, "step_ms": 11.3,
+                        "batch_size": 262144, "losses": [1.0] * 12},
+        "device_step_softmax": {"examples_per_sec": 2000000.0,
+                                "step_ms": 32.0, "batch_size": 65536},
+        "from_disk": {"examples_per_sec": 12000000.0,
+                      "wire_cache": {"examples_per_sec": 15000000.0}},
+    }
+    out = compact_record(record)
+    line = json.dumps(out)
+    assert len(line) < 2000, len(line)
+    assert out["value"] == 19940000.0
+    assert out["variants_examples_per_sec"]["float32+sorted"] == 19940000.0
+    assert out["warmup_windows_excluded"] == 2
+    assert out["device_step_softmax"]["batch_size"] == 65536
+    assert "batch_size" not in out["device_step"]  # same as headline bs
+    assert out["wire_cache_examples_per_sec"] == 15000000.0
+    assert "windows_examples_per_sec" not in line
+    assert "roofline" not in line
