@@ -363,16 +363,20 @@ def measure_device_step(variant: str, batch_size: int, k: int = 16,
     if table_dtype != "float32":
         mcfg = dataclasses.replace(mcfg, table_dtype=table_dtype)
     # '+softmax' trains the NORTH-STAR in-batch sampled-softmax objective
-    # (fused flash kernel under "auto" on TPU); '+softmaxscan' pins the scan
-    # path for kernel-vs-scan A/B (tools/bench_step_device.py tags).
+    # under production routing ("auto": scan path single-device per the r4
+    # measurement); '+softmaxscan' pins the scan path; '+softmaxkernel'
+    # forces the fused Pallas kernel (kernel-vs-scan A/B tags, shared with
+    # tools/bench_step_device.py).
     tcfg = cfg_lib.TrainConfig(
         batch_size=batch_size,
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
-        loss=("sampled_softmax" if ("softmax" in tags or "softmaxscan" in tags)
+        loss=("sampled_softmax"
+              if {"softmax", "softmaxscan", "softmaxkernel"} & set(tags)
               else "bce"),
-        softmax_kernel="off" if "softmaxscan" in tags else "auto",
+        softmax_kernel=("off" if "softmaxscan" in tags
+                        else "on" if "softmaxkernel" in tags else "auto"),
     )
     if device_pool:
         # NEAR-DEAD-wire mode: the pool is generated on device by a jitted
@@ -793,11 +797,12 @@ def main() -> None:
             print(f"# device_step[{device_variant3}]: "
                   f"{ds3['examples_per_sec']:.3g} ex/s ({ds3['step_ms']} ms/step) "
                   f"losses={ds3['losses']}", file=sys.stderr, flush=True)
-        # NORTH-STAR objective capacity: in-batch sampled softmax through the
-        # fused flash kernel (O(B^2 D) score work — runs at its own batch
+        # NORTH-STAR objective capacity: in-batch sampled softmax under
+        # production routing (O(B^2 D) score work — runs at its own batch
         # size, 64k: the B=262k score matrix would be ~16x the step). The
-        # scan-vs-kernel A/B lives in tools/bench_step_device.py (+softmax /
-        # +softmaxscan); this row pins the fused config in every artifact.
+        # scan-vs-kernel A/B lives in tools/bench_step_device.py
+        # (+softmaxkernel / +softmaxscan); this row pins the north-star
+        # objective's capacity in every artifact.
         device_variant_sm = os.environ.get(
             "BENCH_DEVICE_VARIANT_SM", "float32+sorted+blockkernel+softmax")
         if device_variant_sm:

@@ -282,3 +282,22 @@ def test_shapes_gate():
     assert softmax_kernel_shapes_ok(65536, 64, bq=8192)    # sharded stripe
     assert not softmax_kernel_shapes_ok(65536, 64, bq=96)  # bq % 128
     assert not softmax_kernel_shapes_ok(512, 64, bq=384)   # bk % bq
+
+
+def test_auto_routing_measured_defaults():
+    """Round-4 measured routing (DESIGN §6c-r3): "auto" keeps the scan path
+    single-device (VMEM-resident chunks beat the kernel on-chip, 55.1 vs
+    60.2 ms at bs=65536) and engages the fused kernel only for the shard_map
+    stripe route (b_local set); "on" forces it anywhere; "off" never."""
+    from two_tower_recommender_model_tpu.models.losses import _use_fused_softmax
+
+    backend_is_tpu = __import__("jax").default_backend() == "tpu"
+    # single-device auto: scan path regardless of size/alignment
+    assert not _use_fused_softmax(65536, 64, "auto")
+    # sharded auto: kernel on TPU (scan on CPU test runs — interpret is slow)
+    assert _use_fused_softmax(65536, 64, "auto", 8192) == backend_is_tpu
+    # forced
+    assert _use_fused_softmax(65536, 64, "on")
+    assert not _use_fused_softmax(65536, 64, "off", 8192)
+    # shape gates still apply under "on"
+    assert not _use_fused_softmax(65537, 64, "on")

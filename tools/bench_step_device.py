@@ -60,10 +60,14 @@ def build(variant: str, batch_size: int):
         sorted_feature="user_id" if sort else None,
         scatter_buffer_dtype="bfloat16" if bf16buf else "float32",
         block_sorted_kernel=bsk,
-        loss="sampled_softmax" if "softmax" in tags or "softmaxscan" in tags
+        loss="sampled_softmax" if {"softmax", "softmaxscan",
+                                   "softmaxkernel"} & set(tags)
              else "bce",
-        # '+softmaxscan' pins the scan-path softmax for kernel-vs-scan A/B
-        softmax_kernel="off" if "softmaxscan" in tags else "auto",
+        # '+softmax' = production routing ("auto": scan single-device per the
+        # r4 measurement); '+softmaxscan' pins the scan path; '+softmaxkernel'
+        # forces the fused Pallas kernel — the kernel-vs-scan A/B pair
+        softmax_kernel=("off" if "softmaxscan" in tags
+                        else "on" if "softmaxkernel" in tags else "auto"),
         # '+dsgather' routes unsorted single-slot gathers through the
         # device-sort block-kernel front-end (device_sorted_lookup)
         device_sorted_gather="dsgather" in tags,

@@ -43,12 +43,18 @@ def weighted_bce_with_logits(
 
 def _use_fused_softmax(b: int, d: int, implementation: str,
                        b_local: int | None = None) -> bool:
-    """Route big batches to the fused Pallas kernel (flash-style online
-    logsumexp, ops/softmax_kernel.py): the scan path's [R, B] score blocks
-    round-trip HBM (~34 GB/step at bs=64k) while the kernel keeps every tile
-    in VMEM. "auto" = TPU + big aligned batch (CPU tests keep the scan path —
-    interpret-mode grids are slow); "on" forces it (interpret off-TPU).
-    `b_local` is the per-shard row count in the sharded route (None = b)."""
+    """Route to the fused Pallas kernel (flash-style online logsumexp,
+    ops/softmax_kernel.py) vs the blockwise-remat scan path.
+
+    MEASURED routing (round 4, on-chip, bs=65536 f32 — DESIGN §6c-r3):
+    single-device, the scan path wins (55.1 vs 60.2 ms step) — its
+    auto-sized [R, B] chunks stay VMEM-resident and XLA overlaps the mask/
+    exp VPU chain with the MXU passes across chunks — so "auto" keeps the
+    scan path on one device. The kernel's measured value is the SHARD_MAP
+    stripe route (`b_local` set): each shard runs its rectangular
+    [B_local, B] stripe with zero redundancy, which the scan path cannot
+    express per-shard. "on" forces the kernel anywhere (interpret
+    off-TPU)."""
     from two_tower_recommender_model_tpu.ops.softmax_kernel import (
         softmax_kernel_shapes_ok,
     )
@@ -57,7 +63,8 @@ def _use_fused_softmax(b: int, d: int, implementation: str,
         return False
     if implementation == "on":
         return True
-    return jax.default_backend() == "tpu" and b > 4096
+    return (jax.default_backend() == "tpu" and b > 4096
+            and b_local is not None)
 
 
 def in_batch_sampled_softmax(
