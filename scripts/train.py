@@ -60,14 +60,18 @@ def parse_args():
                          "'auto' (default) picks the largest eligible table and "
                          "silently disables where the fast path doesn't apply; "
                          "'off' disables")
-    ap.add_argument("--block-sorted-kernel", choices=["off", "float32", "bfloat16"],
-                    default="off",
+    ap.add_argument("--block-sorted-kernel",
+                    choices=["auto", "off", "float32", "bfloat16"],
+                    default="auto",
                     help="route table ops through the block-sorted one-hot MXU "
                          "kernels (DESIGN §6e): the sorted feature's gather+update "
                          "directly, every other eligible f32 table's update via a "
                          "device-sort front-end (works without --sorted-feature, "
                          "multi-host included); float32 keeps f32-exact math, "
-                         "bfloat16 rounds operands for ~3x MXU rate")
+                         "bfloat16 rounds operands for ~3x MXU rate. 'auto' "
+                         "(default) picks float32 when the shapes fit the "
+                         "kernels' tiling (measured faster: step 15.6 -> 11.3 ms "
+                         "at bs=262k flagship), off otherwise")
     ap.add_argument("--wire-cache", default=None, metavar="DIR",
                     help="pre-encoded batch cache (data/wirecache.py): built on "
                          "first use from epoch-0 loader order, reused after — "
@@ -177,6 +181,24 @@ def main():
             # update mode (no block gather; eligible tables sort on device)
             logging.info("block-sorted-kernel: device-sort update mode "
                          "(sorted-feature auto found no eligible feature)")
+    if args.block_sorted_kernel == "auto":
+        # fast-by-default, mirror --sorted-feature auto: the block kernels'
+        # SORTED-table route is unguarded by shape gates (the unsorted
+        # device-sort front-end checks shapes itself), so auto enables f32
+        # kernels only when the sorted table's dim and the batch fit the
+        # tiling and its storage has a block path (f32/int8)
+        from two_tower_recommender_model_tpu.ops.block_sorted import (
+            block_sorted_shapes_ok,
+        )
+
+        ok = args.batch_size % 128 == 0
+        if ok and args.sorted_feature:
+            st = mcfg.feature(args.sorted_feature).table
+            ok = (block_sorted_shapes_ok(mcfg.table(st).embedding_dim,
+                                         args.batch_size)
+                  and mcfg.table_dtype_of(st) in ("float32", "int8"))
+        args.block_sorted_kernel = "float32" if ok else "off"
+        logging.info("block-sorted-kernel auto: %s", args.block_sorted_kernel)
     tcfg = cfg_lib.TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,
         learning_rate=args.learning_rate, sparse_learning_rate=args.sparse_learning_rate,
