@@ -285,15 +285,21 @@ def test_shapes_gate():
 
 
 def test_auto_routing_measured_defaults():
-    """Round-4 measured routing (DESIGN §6c-r3): "auto" keeps the scan path
-    single-device (VMEM-resident chunks beat the kernel on-chip, 55.1 vs
-    60.2 ms at bs=65536) and engages the fused kernel only for the shard_map
-    stripe route (b_local set); "on" forces it anywhere; "off" never."""
+    """Round-4 measured routing (DESIGN §6c-r3): single-device "auto" is
+    batch-dependent — kernel for 4096 < b <= 8192 (wins 3.22 vs 3.45 ms
+    at the production bs=8192), scan above (scan wins 16k/32k/64k); the
+    fused kernel always engages for the shard_map stripe route (b_local
+    set); "on" forces it anywhere; "off" never."""
     from two_tower_recommender_model_tpu.models.losses import _use_fused_softmax
 
     backend_is_tpu = __import__("jax").default_backend() == "tpu"
-    # single-device auto: scan path regardless of size/alignment
+    # single-device auto: scan path at large batches...
     assert not _use_fused_softmax(65536, 64, "auto")
+    assert not _use_fused_softmax(16384, 64, "auto")
+    # ...kernel at the production mid-size batch (TPU only; interpret is slow)
+    assert _use_fused_softmax(8192, 64, "auto") == backend_is_tpu
+    # small batches: dense path, never the kernel
+    assert not _use_fused_softmax(4096, 64, "auto")
     # sharded auto: kernel on TPU (scan on CPU test runs — interpret is slow)
     assert _use_fused_softmax(65536, 64, "auto", 8192) == backend_is_tpu
     # forced

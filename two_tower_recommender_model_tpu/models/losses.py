@@ -46,11 +46,14 @@ def _use_fused_softmax(b: int, d: int, implementation: str,
     """Route to the fused Pallas kernel (flash-style online logsumexp,
     ops/softmax_kernel.py) vs the blockwise-remat scan path.
 
-    MEASURED routing (round 4, on-chip, bs=65536 f32 — DESIGN §6c-r3):
-    single-device, the scan path wins (55.1 vs 60.2 ms step) — its
-    auto-sized [R, B] chunks stay VMEM-resident and XLA overlaps the mask/
-    exp VPU chain with the MXU passes across chunks — so "auto" keeps the
-    scan path on one device. The kernel's measured value is the SHARD_MAP
+    MEASURED routing (round 4, on-chip step-level A/B — DESIGN §6c-r3):
+    single-device the winner is BATCH-DEPENDENT — the kernel wins at
+    bs=8192 (3.22 vs 3.45 ms step, the production sampled-softmax batch);
+    the scan path wins from bs=16384 up (6.20 vs 6.33 at 16k, 16.6 vs 18.2
+    at 32k, 55.1 vs 60.2 at 64k) because its auto-sized [R, B] chunks let
+    XLA overlap the mask/exp VPU chain with the MXU passes across chunks.
+    So "auto" routes the kernel single-device only for 4096 < b <= 8192 and
+    the scan above. The kernel's unconditional value is the SHARD_MAP
     stripe route (`b_local` set): each shard runs its rectangular
     [B_local, B] stripe with zero redundancy, which the scan path cannot
     express per-shard. "on" forces the kernel anywhere (interpret
@@ -64,7 +67,7 @@ def _use_fused_softmax(b: int, d: int, implementation: str,
     if implementation == "on":
         return True
     return (jax.default_backend() == "tpu" and b > 4096
-            and b_local is not None)
+            and (b_local is not None or b <= 8192))
 
 
 def in_batch_sampled_softmax(
