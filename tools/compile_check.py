@@ -79,6 +79,20 @@ def check_block_sorted():
             v, s, a, i, g, 0.05)
     ).lower(jnp.zeros((n, d), jnp.int8), jnp.ones((n,), jnp.float32),
             acc, ids, grads).compile()
+    # bf16 matmul_dtype: grads stream from HBM as bf16 (round-4 grad-wire
+    # change) — distinct Mosaic input layouts from the f32 forms above
+    from two_tower_recommender_model_tpu.train.optimizer import (
+        device_sorted_fused_adagrad,
+    )
+
+    jax.jit(
+        lambda t, a, i, g: block_sorted_rowwise_adagrad_fused(
+            t, a, i, g, 0.05, matmul_dtype="bfloat16")
+    ).lower(table, acc, ids, grads).compile()
+    jax.jit(
+        lambda t, a, i, g: device_sorted_fused_adagrad(
+            t, a, i, g, 0.05, matmul_dtype="bfloat16")
+    ).lower(table, acc, ids, grads).compile()
 
 
 def check_quantized():

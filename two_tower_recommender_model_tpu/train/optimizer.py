@@ -129,6 +129,11 @@ def device_sorted_fused_adagrad(
     sids, perm = jax.lax.sort(
         (flat_ids, jnp.arange(m, dtype=jnp.int32)), num_keys=1
     )
+    if matmul_dtype == "bfloat16":
+        # the kernel rounds grads to bf16 anyway (_oh_dot): casting BEFORE
+        # the [M, D] permute is bitwise-identical and halves the permute's
+        # HBM traffic (134 -> 67 MB at flagship M)
+        flat_grads = flat_grads.astype(jnp.bfloat16)
     if isinstance(table, QuantizedTable):
         new_v, new_s, new_a = block_sorted_rowwise_adagrad_fused_quantized(
             table.values, table.scales, acc, sids, flat_grads[perm], lr, eps,
