@@ -90,6 +90,10 @@ def check_block_sorted():
             t, a, i, g, 0.05, matmul_dtype="bfloat16")
     ).lower(table, acc, ids, grads).compile()
     jax.jit(
+        lambda t, i: block_sorted_lookup(
+            t, i, matmul_dtype="bfloat16", out_dtype=jnp.bfloat16)
+    ).lower(table, ids).compile()
+    jax.jit(
         lambda t, a, i, g: device_sorted_fused_adagrad(
             t, a, i, g, 0.05, matmul_dtype="bfloat16")
     ).lower(table, acc, ids, grads).compile()

@@ -110,8 +110,12 @@ def pooled_embeddings(
                     table.values, table.scales, feat.ids[:, 0]
                 )
             else:
+                # emit the compute dtype straight from the kernel: halves the
+                # [B, D] output write and absorbs the cast pass below
+                # (identical rounding — one nonzero contribution per row)
                 rows = block_sorted_lookup(
-                    table, feat.ids[:, 0], matmul_dtype=block_sorted_dtype
+                    table, feat.ids[:, 0], matmul_dtype=block_sorted_dtype,
+                    out_dtype=compute_dtype,
                 )
             pooled = rows * feat.mask[:, :1].astype(rows.dtype)  # single-slot
             out[fc.name] = (

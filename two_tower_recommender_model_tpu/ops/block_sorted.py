@@ -139,13 +139,18 @@ def _gather_kernel(wi_block, wi_chunk, w_real, ids_ref, tab_ref, out_ref, *, r, 
         tab = jnp.where(row_valid, tab_ref[:], 0.0)
         contrib = _oh_dot(oh, tab, cdt, ((1,), (0,)))
 
+        # bf16 out: each output row receives exactly one nonzero contribution
+        # (its owning block) plus exact zeros, so rounding at the write is
+        # identical to the downstream pooled.astype(bf16) cast it replaces
         @pl.when(is_first)
         def _():
-            out_ref[:] = contrib
+            out_ref[:] = contrib.astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(is_first))
         def _():
-            out_ref[:] = out_ref[:] + contrib
+            out_ref[:] = (
+                out_ref[:].astype(jnp.float32) + contrib
+            ).astype(out_ref.dtype)
 
 
 def _aggregate_kernel(
@@ -260,7 +265,7 @@ def block_sorted_shapes_ok(d: int, m: int, c: int = 512) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "c", "matmul_dtype", "interpret")
+    jax.jit, static_argnames=("r", "c", "matmul_dtype", "interpret", "out_dtype")
 )
 def block_sorted_lookup(
     table: jax.Array,  # [N, D]
@@ -269,7 +274,10 @@ def block_sorted_lookup(
     c: int = 512,
     matmul_dtype: str = "float32",
     interpret: bool | None = None,
-) -> jax.Array:  # [M, D] f32: table[sids] (0 for sentinels)
+    out_dtype=None,  # None -> f32; bf16 halves the [M, D] output write and
+    # replaces the downstream compute-dtype cast pass (identical rounding:
+    # each row is written once from its owning block, see _gather_kernel)
+) -> jax.Array:  # [M, D] out_dtype: table[sids] (0 for sentinels)
     if interpret is None:
         interpret = _auto_interpret()
     n, d = table.shape
@@ -294,7 +302,7 @@ def block_sorted_lookup(
     return pl.pallas_call(
         functools.partial(_gather_kernel, r=r, cdt=cdt, n_rows=n),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.dtype(out_dtype or jnp.float32)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
