@@ -68,6 +68,32 @@ def test_lookup_oracle(kind, n):
 
 @pytest.mark.parametrize("kind", CASES)
 @pytest.mark.parametrize("n", [220, 16 * 11])
+def test_lookup_out_dtype_bf16(kind, n):
+    """out_dtype=bf16 (round-4 grad-wire companion): the kernel-side rounding
+    must equal the downstream f32-lookup-then-cast it replaces — each output
+    row is one nonzero contribution plus exact zeros, so rounding commutes
+    with the accumulation across blocks."""
+    rng = np.random.default_rng(hash(kind) % 2**31 + 7)
+    m = 3 * C
+    sids = _case(kind, rng, n, m)
+    table = rng.normal(size=(n, D)).astype(np.float32)
+    out = np.asarray(
+        block_sorted_lookup(
+            jnp.asarray(table), jnp.asarray(sids), r=R, c=C, interpret=True,
+            matmul_dtype="bfloat16", out_dtype=jnp.bfloat16,
+        ).astype(jnp.float32)
+    )
+    ref = np.asarray(
+        block_sorted_lookup(
+            jnp.asarray(table), jnp.asarray(sids), r=R, c=C, interpret=True,
+            matmul_dtype="bfloat16",
+        ).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("kind", CASES)
+@pytest.mark.parametrize("n", [220, 16 * 11])
 def test_adagrad_oracle(kind, n):
     rng = np.random.default_rng(hash(kind) % 2**31 + 1)
     m = 3 * C
