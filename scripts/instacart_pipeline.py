@@ -43,15 +43,18 @@ def run(cmd: list[str]) -> None:
 def apply_fast_preset(args) -> None:
     """`--fast`: the measured production-best single-chip flags (explicit
     flags win). Pre-packed mmap shards + wire cache kill the per-epoch host
-    cost; sorted feature + f32 block-sorted kernels + bf16 tower compute set
-    the 30.8M-ex/s device configuration (exact table math; full-scale recall
-    parity — BENCH_FULL_SCALE.md round-2e)."""
+    cost; sorted feature + bf16 block-sorted kernels + bf16 tower compute
+    set the 40.2M-ex/s (6.53 ms/step) device configuration — full-scale
+    recall parity for the complete bf16 route measured in round 4
+    (0.2482 vs 0.2487 f32, BENCH_FULL_SCALE.md §round-4; params and both
+    optimizers stay f32). Pass `--block-sorted-kernel float32` for exact
+    f32 table math (23M ex/s)."""
     args.packed = True
     args.wire_cache = True
     if args.sorted_feature is None:
         args.sorted_feature = "user_id"
     if args.block_sorted_kernel is None:
-        args.block_sorted_kernel = "float32"
+        args.block_sorted_kernel = "bfloat16"
     if args.compute_dtype is None:
         args.compute_dtype = "bfloat16"
 
@@ -90,9 +93,9 @@ def main():
                     help="tower MXU dtype passthrough to train.py")
     ap.add_argument("--fast", action="store_true",
                     help="production-best single-chip preset: pre-packed "
-                         "shards, sorted feature + f32 block-sorted kernels, "
+                         "shards, sorted feature + bf16 block-sorted kernels, "
                          "wire cache, bf16 tower compute (full-scale recall "
-                         "parity measured in BENCH_FULL_SCALE.md round-2e)")
+                         "parity measured in BENCH_FULL_SCALE.md round-4)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

@@ -116,7 +116,9 @@ def test_fast_preset_expansion(monkeypatch):
     mod.apply_fast_preset(a)
     assert a.packed and a.wire_cache
     assert a.sorted_feature == "user_id"
-    assert a.block_sorted_kernel == "float32"
+    # round-4: the full bf16 route is preset-default (recall parity at full
+    # scale, BENCH_FULL_SCALE.md §round-4); explicit float32 still wins below
+    assert a.block_sorted_kernel == "bfloat16"
     assert a.compute_dtype == "bfloat16"
 
     b = A()
