@@ -197,7 +197,12 @@ def main():
             ok = (block_sorted_shapes_ok(mcfg.table(st).embedding_dim,
                                          args.batch_size)
                   and mcfg.table_dtype_of(st) in ("float32", "int8"))
-        args.block_sorted_kernel = "float32" if ok else "off"
+        # kernel dtype follows the user's chosen compute class: bf16 towers
+        # (--compute-dtype bfloat16) get bf16 kernel operands too — same
+        # numerics class, full-scale recall parity + 6.53 ms vs 8.5 ms steps
+        # (BENCH_FULL_SCALE.md §round-4); exact-f32 users keep exact kernels
+        kdt = "bfloat16" if args.compute_dtype == "bfloat16" else "float32"
+        args.block_sorted_kernel = kdt if ok else "off"
         logging.info("block-sorted-kernel auto: %s", args.block_sorted_kernel)
     tcfg = cfg_lib.TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size,

@@ -213,6 +213,36 @@ def test_cli_sorted_feature_auto_default(csv_dir, tmp_path):
     assert "sorted-feature auto" not in (r.stdout + r.stderr)
 
 
+def test_cli_block_kernel_auto_follows_compute_dtype(csv_dir, tmp_path):
+    """block-sorted-kernel auto resolves to the user's compute class
+    (round 4): bf16 towers get bf16 kernel operands (same numerics class,
+    full-scale recall parity — BENCH_FULL_SCALE.md §round-4); exact-f32
+    users keep exact f32 kernels."""
+    out = str(tmp_path / "prepared_bk")
+    r = _run([sys.executable, "scripts/prepare_instacart.py",
+              "--csv-dir", csv_dir, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    base = [
+        sys.executable, "scripts/train.py",
+        "--data-dir", out,
+        "--num-users", str(meta["num_users"]),
+        "--num-items", str(meta["num_items"]),
+        "--epochs", "1", "--batch-size", "128",
+        "--embedding-dim", "128", "--layer-sizes", "16", "8",
+        "--limit-train-batches", "4", "--limit-val-batches", "2",
+        "--limit-test-batches", "2",
+    ]
+    r = _run(base + ["--compute-dtype", "bfloat16",
+                     "--runs-root", str(tmp_path / "runs_bk1")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "block-sorted-kernel auto: bfloat16" in (r.stdout + r.stderr)
+
+    r = _run(base + ["--runs-root", str(tmp_path / "runs_bk2")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "block-sorted-kernel auto: float32" in (r.stdout + r.stderr)
+
+
 def test_cli_wire_cache_build_then_reuse(csv_dir, tmp_path):
     """--wire-cache: first run encodes the cache (logged), second run reuses it
     (no rebuild); both train to finite metrics through the packed macro loop."""
