@@ -61,6 +61,7 @@ def check_block_sorted():
     shapes through the train step they route in."""
     from two_tower_recommender_model_tpu.ops.block_sorted import (
         block_sorted_lookup,
+        block_sorted_lookup_quantized,
         block_sorted_rowwise_adagrad_fused,
         block_sorted_rowwise_adagrad_fused_quantized,
     )
@@ -71,6 +72,10 @@ def check_block_sorted():
     grads = jnp.zeros((m, d), jnp.float32)
     acc = jnp.zeros((n,), jnp.float32)
     jax.jit(lambda t, i: block_sorted_lookup(t, i)).lower(table, ids).compile()
+    jax.jit(
+        lambda v, s, i: block_sorted_lookup_quantized(v, s, i)
+    ).lower(jnp.zeros((n, d), jnp.int8), jnp.ones((n,), jnp.float32),
+            ids).compile()
     jax.jit(
         lambda t, a, i, g: block_sorted_rowwise_adagrad_fused(t, a, i, g, 0.05)
     ).lower(table, acc, ids, grads).compile()

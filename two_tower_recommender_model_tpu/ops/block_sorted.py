@@ -477,14 +477,20 @@ def _gather_kernel_quantized(
         )
         sc = sum(dot(p, ohb) for p in _split3(scl))  # [1, C]
 
+        # the int-rows output wires as bf16: every int in [-127, 127] is
+        # EXACT in bf16 (and the cross-block accumulation only adds exact
+        # zeros), so this halves the [M, D] write with bitwise-identical
+        # dequantized results after the caller's f32 upcast
         @pl.when(is_first)
         def _():
-            out_ref[:] = contrib
+            out_ref[:] = contrib.astype(out_ref.dtype)
             out_scl_ref[:] = sc
 
         @pl.when(jnp.logical_not(is_first))
         def _():
-            out_ref[:] = out_ref[:] + contrib
+            out_ref[:] = (
+                out_ref[:].astype(jnp.float32) + contrib
+            ).astype(out_ref.dtype)
             out_scl_ref[:] = out_scl_ref[:] + sc
 
 
@@ -531,7 +537,9 @@ def block_sorted_lookup_quantized(
         functools.partial(_gather_kernel_quantized, r=r, n_rows=n),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((m, d), jnp.float32),
+            # bf16 wire for the exact integer rows (see kernel note): halves
+            # the [M, D] HBM write; the f32 upcast below is exact
+            jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ),
         interpret=interpret,
@@ -539,7 +547,7 @@ def block_sorted_lookup_quantized(
             dimension_semantics=("arbitrary",)
         ),
     )(wi_block, wi_chunk, w_real, _ids3d(sids, c), values, scl_pad)
-    return rows_int * (scl_rows[0, :, None] / 127.0)
+    return rows_int.astype(jnp.float32) * (scl_rows[0, :, None] / 127.0)
 
 
 def _fused_update_kernel_quantized(
