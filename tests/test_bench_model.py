@@ -123,6 +123,94 @@ def test_leading_dip_detection():
     assert leading_dip([8e6, 8e6, 20e6, 20e6]) == 1
 
 
+def test_leading_dip_requires_degraded_wire():
+    """A healthy-wire run never excludes leading windows: the dip mechanism
+    is prefetch fill at wire pace, which a healthy wire makes invisible —
+    excluding there would optimistically mask a genuine slowdown that
+    begins at run start (ADVICE r4)."""
+    from bench import leading_dip
+
+    dipped = [8.83e6, 8.41e6, 20.1e6, 20.2e6, 19.9e6]
+    assert leading_dip(dipped, wire_degraded=True) == 2
+    assert leading_dip(dipped, wire_degraded=False) == 0
+
+
+def test_promote_wire_proof_headline():
+    """In the degraded band (2-300 MB/s preflight) the committed headline
+    becomes the wire-proof device-step capacity; the wire-bound hot-loop
+    figure stays in the record as wire_headline (VERDICT r4 weak #1: the
+    r4 driver artifact's 8.19M at 12.6 MB/s hid a 23M device capacity)."""
+    rec = {"value": 8.19e6, "vs_baseline": 303.3,
+           "headline_dtype": "float32+sorted+compact+delta+blockkernel",
+           "variants": {"float32+sorted+compact+delta+blockkernel":
+                        {"examples_per_sec": 8.19e6}},
+           "device_step": {"examples_per_sec": 23.0e6, "step_ms": 11.4},
+           "from_disk": {"examples_per_sec": 5.0e6}}
+    bench.promote_wire_proof_headline(rec, degraded=True)
+    assert rec["value"] == 23.0e6
+    assert rec["headline_source"] == "device_step_wire_excluded"
+    assert rec["wire_headline"]["value"] == 8.19e6
+    assert "DEGRADED WIRE" in rec["note"]
+    assert bench.wire_value(rec) == 8.19e6  # persistence compares wire pace
+
+    # healthy wire: untouched
+    rec2 = {"value": 25.0e6, "vs_baseline": 926.0,
+            "device_step": {"examples_per_sec": 23.0e6}}
+    bench.promote_wire_proof_headline(rec2, degraded=False)
+    assert rec2["value"] == 25.0e6 and "wire_headline" not in rec2
+
+    # severe tier already device-derived: no double promotion
+    rec3 = {"value": 23.0e6, "wire_bound_skipped": True,
+            "device_step": {"examples_per_sec": 23.0e6}}
+    bench.promote_wire_proof_headline(rec3, degraded=True)
+    assert "wire_headline" not in rec3
+
+    # degraded but hot-loop somehow faster than device figure: keep it
+    rec4 = {"value": 30.0e6, "vs_baseline": 1111.0,
+            "device_step": {"examples_per_sec": 23.0e6}}
+    bench.promote_wire_proof_headline(rec4, degraded=True)
+    assert rec4["value"] == 30.0e6 and "wire_headline" not in rec4
+
+
+def test_promoted_record_does_not_displace_healthy_latest(tmp_path):
+    """BENCH_LATEST keeps the best WIRE-INCLUDED record: a degraded-band
+    run whose value was promoted to device capacity must not overwrite a
+    healthy-wire record on the strength of its wire-excluded number."""
+    p = str(tmp_path / "BENCH_LATEST.json")
+    healthy = {
+        "value": 19.9e6, "vs_baseline": 738.0, "headline_dtype": "f32+x",
+        "variants": {"f32+x": {"examples_per_sec": 19.9e6}},
+        "from_disk": {"examples_per_sec": 9.7e6},
+        "device_step": {"examples_per_sec": 23.0e6},
+    }
+    bench.persist_or_reference_latest(healthy, p)
+    promoted = {
+        "value": 8.19e6, "vs_baseline": 303.0, "headline_dtype": "f32+x",
+        "variants": {"f32+x": {"examples_per_sec": 8.19e6}},
+        "from_disk": {"examples_per_sec": 5.0e6},
+        "device_step": {"examples_per_sec": 23.5e6},
+    }
+    bench.promote_wire_proof_headline(promoted, degraded=True)
+    assert promoted["value"] == 23.5e6  # > healthy's 19.9M, but wire-excluded
+    bench.persist_or_reference_latest(promoted, p)
+    with open(p) as f:
+        kept = json.load(f)
+    assert kept["value"] == 19.9e6  # healthy record survives
+    assert promoted["last_complete"]["value"] == 19.9e6
+
+
+def test_compact_record_carries_headline_source():
+    record = {
+        "metric": "m", "value": 23.0e6, "unit": "examples/s",
+        "vs_baseline": 851.0, "headline_source": "device_step_wire_excluded",
+        "wire_headline": {"value": 8.19e6},
+        "h2d_preflight": {"mb_per_s": 24.0, "degraded": True},
+    }
+    out = bench.compact_record(record)
+    assert out["headline_source"] == "device_step_wire_excluded"
+    assert out["wire_headline_value"] == 8.19e6
+
+
 def test_compact_record_shape():
     """The stdout line must stay parseable within the driver's capture
     window: scalars only, no window arrays/rooflines (ADVICE r3)."""

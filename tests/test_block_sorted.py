@@ -13,6 +13,8 @@ crossing chunk boundaries.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -54,7 +56,7 @@ CASES = ["uniform", "sentinels", "empty_blocks", "one_hot_row", "all_sentinel"]
 @pytest.mark.parametrize("kind", CASES)
 @pytest.mark.parametrize("n", [220, 16 * 11])  # ragged + exact-multiple of R
 def test_lookup_oracle(kind, n):
-    rng = np.random.default_rng(hash(kind) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31)
     m = 3 * C
     sids = _case(kind, rng, n, m)
     table = rng.normal(size=(n, D)).astype(np.float32)
@@ -73,7 +75,7 @@ def test_lookup_out_dtype_bf16(kind, n):
     must equal the downstream f32-lookup-then-cast it replaces — each output
     row is one nonzero contribution plus exact zeros, so rounding commutes
     with the accumulation across blocks."""
-    rng = np.random.default_rng(hash(kind) % 2**31 + 7)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31 + 7)
     m = 3 * C
     sids = _case(kind, rng, n, m)
     table = rng.normal(size=(n, D)).astype(np.float32)
@@ -95,7 +97,7 @@ def test_lookup_out_dtype_bf16(kind, n):
 @pytest.mark.parametrize("kind", CASES)
 @pytest.mark.parametrize("n", [220, 16 * 11])
 def test_adagrad_oracle(kind, n):
-    rng = np.random.default_rng(hash(kind) % 2**31 + 1)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31 + 1)
     m = 3 * C
     sids = _case(kind, rng, n, m)
     grads = rng.normal(size=(m, D)).astype(np.float32)
@@ -289,7 +291,7 @@ def test_fused_adagrad_matches_two_kernel_path(kind, n):
         block_sorted_rowwise_adagrad_fused,
     )
 
-    rng = np.random.default_rng(hash(kind) % 2**31 + 2)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31 + 2)
     m = 3 * C
     sids = _case(kind, rng, n, m)
     grads = rng.normal(size=(m, D)).astype(np.float32)
@@ -383,7 +385,7 @@ def test_quantized_lookup_oracle(kind, n):
         block_sorted_lookup_quantized,
     )
 
-    rng = np.random.default_rng(hash(kind) % 2**31 + 5)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31 + 5)
     sids, qt = _quant_setup(kind, n, rng)
     out = np.asarray(block_sorted_lookup_quantized(
         qt.values, qt.scales, jnp.asarray(sids), r=R, c=C, interpret=True
@@ -414,7 +416,7 @@ def test_quantized_fused_adagrad_oracle(kind, n):
         quantized_rowwise_adagrad,
     )
 
-    rng = np.random.default_rng(hash(kind) % 2**31 + 6)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31 + 6)
     sids, qt = _quant_setup(kind, n, rng)
     m = 3 * C
     grads = rng.normal(size=(m, D)).astype(np.float32)

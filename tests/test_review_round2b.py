@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -179,7 +181,7 @@ def test_prepacked_unpacked_labels_flow_through_cli(tmp_path):
     ds = SyntheticClickstream(80, 40, seed=3, noise=0.05, latent_dim=2)
     root = tmp_path / "data"
     for split, rows in (("train", 2048), ("val", 512), ("test", 512)):
-        pack_dataset(str(root / split), mcfg, ds.sample(rows, start=hash(split) % 97),
+        pack_dataset(str(root / split), mcfg, ds.sample(rows, start=zlib.crc32(split.encode()) % 97),
                      pack_label=False, rows_per_shard=1024)
 
     env = dict(os.environ)
