@@ -21,7 +21,7 @@ def test_resilient_fit_retries_and_reports():
     def attempt(restart):
         calls.append(restart)
         if restart < 2:
-            raise RuntimeError(f"boom {restart}")
+            raise OSError(f"boom {restart}")  # transient class: retried
         return {"ok": 1.0}
 
     out = resilient_fit(attempt, max_restarts=3, backoff_s=0.0)
@@ -32,8 +32,69 @@ def test_resilient_fit_retries_and_reports():
 
 def test_resilient_fit_exhausts():
     with pytest.raises(TrainingFailure, match="after 2 restarts"):
-        resilient_fit(lambda r: (_ for _ in ()).throw(RuntimeError("x")),
+        resilient_fit(lambda r: (_ for _ in ()).throw(ConnectionError("x")),
                       max_restarts=2, backoff_s=0.0)
+
+
+def test_resilient_fit_bug_raises_immediately():
+    """Programming bugs are NOT transient: the default retry set must let
+    them surface on the first attempt instead of 'recovering' max_restarts
+    times (VERDICT r4 hygiene)."""
+    calls = []
+
+    def buggy(restart):
+        calls.append(restart)
+        raise ValueError("shape mismatch")  # bug class
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        resilient_fit(buggy, max_restarts=3, backoff_s=0.0)
+    assert calls == [0]  # no retry
+
+
+def test_resilient_fit_transient_types_cover_xla_runtime():
+    from two_tower_recommender_model_tpu.train.resilient import (
+        transient_error_types,
+    )
+
+    types = transient_error_types()
+    assert OSError in types and TimeoutError in types
+    import jax.errors
+
+    assert jax.errors.JaxRuntimeError in types
+    # but plain RuntimeError (bug class) is not retried by default
+    assert not issubclass(RuntimeError, types)
+
+
+def test_resilient_fit_optin_retry_everything():
+    """retry_on=(Exception,) restores the old babysitting behavior."""
+    calls = []
+
+    def attempt(restart):
+        calls.append(restart)
+        if restart == 0:
+            raise RuntimeError("flaky bug")
+        return {"ok": 1.0}
+
+    out = resilient_fit(attempt, max_restarts=1, backoff_s=0.0,
+                        retry_on=(Exception,))
+    assert out["restarts"] == 1 and calls == [0, 1]
+
+
+def test_resilient_fit_logs_traceback(caplog):
+    """The full stack must land in the log — only str(e) survives in the
+    failure list, and a recurring transient needs its stack diagnosable."""
+    import logging
+
+    def attempt(restart):
+        if restart == 0:
+            raise OSError("shard read failed")
+        return {"ok": 1.0}
+
+    with caplog.at_level(logging.WARNING,
+                         logger="two_tower_recommender_model_tpu.train.resilient"):
+        resilient_fit(attempt, max_restarts=1, backoff_s=0.0)
+    joined = "\n".join(r.getMessage() for r in caplog.records)
+    assert "Traceback" in joined and "shard read failed" in joined
 
 
 def test_crash_resume_equals_uninterrupted(tmp_path):
@@ -66,7 +127,7 @@ def test_crash_resume_equals_uninterrupted(tmp_path):
             ckpt.save(int(state.step), state,
                       loader_state={"batches_yielded": i + 1}, wait=True)
             if restart == 0 and i + 1 == crash_at:
-                raise RuntimeError("injected crash")
+                raise OSError("injected crash")  # transient class
         attempt.final_state = state
         return {"done": 1.0}
 
