@@ -189,6 +189,28 @@ def test_sharded_topk_k_exceeds_shard(rng):
     np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_topk_non_multiple_corpus(rng):
+    """Corpus row counts that don't divide the mesh (the real-data case:
+    49,688 Instacart items minus the sentinel = 49,687) are padded and
+    masked internally — pad rows can never evict real candidates, indices
+    stay exact global rows."""
+    from two_tower_recommender_model_tpu.parallel.sharded import make_sharded_topk
+
+    mesh = make_mesh(4, 2)
+    # 119 rows over 8 devices; make every true score NEGATIVE so a zero pad
+    # row would win if it leaked into any shard's local top-k
+    corpus = jnp.asarray(-np.abs(rng.normal(size=(119, 8))) - 0.1, jnp.float32)
+    queries = jnp.asarray(np.abs(rng.normal(size=(5, 8))) + 0.1, jnp.float32)
+    vals, idx = make_sharded_topk(mesh, k=12, corpus_chunk=16)(queries, corpus)
+    scores = np.asarray(queries) @ np.asarray(corpus).T
+    want_idx = np.argsort(-scores, axis=1)[:, :12]
+    want_vals = np.take_along_axis(scores, want_idx, 1)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5, atol=1e-6)
+    assert np.asarray(idx).max() < 119
+    got_scores = np.take_along_axis(scores, np.asarray(idx), 1)
+    np.testing.assert_allclose(got_scores, want_vals, rtol=1e-5, atol=1e-6)
+
+
 def test_padded_eval_matches_unpadded(setup):
     """Zero-weight padding must not change eval metrics: sharded eval over
     padded ragged batches == single-device eval over the raw stream."""

@@ -38,7 +38,7 @@ K = 32
 DEVICE_POOL = False  # --device-pool: generate the pool on device (no H2D)
 
 
-def build(variant: str, batch_size: int):
+def build(variant: str, batch_size: int, num_users: int | None = None):
     # Share bench.py's '+'-separated tag grammar (tests lock it there) so the
     # same spec string means the same config in both tools.
     from bench import parse_variant, variant_compute_dtype
@@ -46,7 +46,8 @@ def build(variant: str, batch_size: int):
     _dtype, sort, bf16buf, _compact, bsk, _delta = parse_variant(variant)
     tags = variant.split("+")[1:]
     mcfg = cfg_lib.two_tower_model_config(
-        num_users=N_USERS, num_items=N_ITEMS, embedding_dim=128, layer_sizes=(128, 64),
+        num_users=num_users or N_USERS, num_items=N_ITEMS,
+        embedding_dim=128, layer_sizes=(128, 64),
         compute_dtype=variant_compute_dtype(variant),
     )
     if _dtype not in ("float32", "f32"):
@@ -119,8 +120,9 @@ def build(variant: str, batch_size: int):
     return state, pool, run_k
 
 
-def time_variant(variant: str, batch_size: int, reps: int = 5):
-    state, pool, run_k = build(variant, batch_size)
+def time_variant(variant: str, batch_size: int, reps: int = 5,
+                 num_users: int | None = None):
+    state, pool, run_k = build(variant, batch_size, num_users=num_users)
     r1, r2 = run_k(K), run_k(2 * K)
     state, v = r1(state, pool, K)  # compile + warm
     float(v)
@@ -138,12 +140,34 @@ def time_variant(variant: str, batch_size: int, reps: int = 5):
         diffs.append((t2 - t1) - (t1 - t0))  # K extra steps
     diffs.sort()
     per_step = diffs[len(diffs) // 2] / K
-    return {
+    rec = {
         "variant": variant,
         "batch_size": batch_size,
         "step_ms": round(per_step * 1e3, 3),
         "device_examples_per_sec": round(batch_size / per_step, 0),
     }
+    if num_users:
+        rec["num_users"] = num_users
+    return rec
+
+
+def crossover(sizes, variants, batch_size):
+    """--crossover: the int8-vs-f32 regime sweep (VERDICT r4 weak #3).
+
+    DESIGN §8b argues from the bandwidth model that int8 overtakes f32 when
+    the step becomes table-bandwidth-bound — at user-table row counts
+    10-100x the flagship's 206k, where a 262k-batch of uniform ids touches
+    ~B distinct rows and the gather+update traffic stops being noise
+    against the MXU floor. This mode MEASURES that claim: same step, same
+    kernels, user table scaled to `sizes` rows, ids uniform over the full
+    table (device-generated pool), f32 vs int8 storage."""
+    out = []
+    for n in sizes:
+        for variant in variants:
+            rec = time_variant(variant, batch_size, num_users=n)
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    return out
 
 
 def main():
@@ -151,6 +175,23 @@ def main():
     if "--device-pool" in sys.argv:
         DEVICE_POOL = True
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    if "--crossover" in sys.argv:
+        DEVICE_POOL = True  # scaled tables need full-table uniform ids; no H2D
+        sizes = (2_000_000, 8_000_000, 20_000_000)
+        if "--users" in sys.argv:
+            sizes = tuple(int(x) for x in
+                          sys.argv[sys.argv.index("--users") + 1].split(","))
+        variants = ("f32+sorted+blockkernel", "int8+sorted+blockkernel",
+                    "f32+sorted+blockkernel-bf16+bf16compute",
+                    "int8+sorted+blockkernel+bf16compute")
+        if "--variants" in sys.argv:
+            variants = tuple(sys.argv[sys.argv.index("--variants") + 1].split(","))
+        bs = 262_144
+        if "--bs" in sys.argv:
+            bs = int(sys.argv[sys.argv.index("--bs") + 1])
+        out = crossover(sizes, variants, bs)
+        print(json.dumps({"crossover": out}))
+        return
     out = []
     variants = ("f32", "f32+sorted", "f32+sorted+bf16buf")
     if "--variants" in sys.argv:

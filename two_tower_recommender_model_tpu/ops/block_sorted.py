@@ -216,8 +216,9 @@ def _fused_update_kernel(
     """Aggregation + row-wise Adagrad epilogue in ONE kernel: the dense
     aggregated gradient never round-trips HBM (it lives in the per-block
     VMEM scratch), the table block streams exactly once (read for the
-    epilogue, written updated), and the [N]-shaped accumulator stays VMEM-
-    resident for the whole grid ([1, G*R] block, constant index)."""
+    epilogue, written updated), and the [N]-shaped accumulator streams in
+    [1, R] blocks alongside its table block (a whole-array VMEM block would
+    cap the table at ~2M rows — VERDICT r5 crossover sweep)."""
     w = pl.program_id(0)
     blk = wi_block[w]
     is_first = (w == 0) | (wi_block[jnp.maximum(w - 1, 0)] != blk)
@@ -240,13 +241,13 @@ def _fused_update_kernel(
         g = scratch[:]  # [r, d] f32 aggregated gradient of this block
         touched = jnp.any(g != 0.0, axis=1, keepdims=True)  # [r, 1]
         g2 = jnp.mean(g * g, axis=1, keepdims=True)  # [r, 1]
-        acc_rows = acc_ref[0:1, pl.ds(blk * r, r)]  # [1, r] lane-oriented
+        acc_rows = acc_ref[0:1, :]  # [1, r] lane-oriented block slice
         acc_col = _lane_to_sublane(acc_rows)  # [r, 1]
         new_acc = jnp.where(touched, acc_col + g2, acc_col)
         denom = jnp.sqrt(new_acc) + eps
         tab = tab_ref[:]
         out_tab_ref[:] = jnp.where(touched, tab - lr * g / denom, tab)
-        out_acc_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(new_acc)
+        out_acc_ref[0:1, :] = _sublane_to_lane(new_acc)
 
 
 def _check(n, d, m, r, c):
@@ -400,11 +401,11 @@ def block_sorted_rowwise_adagrad_fused(
             pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
             pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
             pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
         ],
         out_specs=[
             pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
         ],
         scratch_shapes=[pltpu.VMEM((r, d), jnp.float32)],
     )
@@ -469,7 +470,7 @@ def _gather_kernel_quantized(
         )  # [C, D] exact integers
         # exact scale pick: [1, R] scales -> [1, C] via 3 one-hot matmuls on
         # the bf16x3 split (one term per output row => no summation rounding)
-        scl = scl_ref[0:1, pl.ds(blk * r, r)]
+        scl = scl_ref[0:1, :]  # [1, r] block slice (streamed per block)
         dot = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -526,7 +527,7 @@ def block_sorted_lookup_quantized(
         in_specs=[
             pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
             pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
         ],
         out_specs=[
             pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
@@ -581,8 +582,8 @@ def _fused_update_kernel_quantized(
         g = scratch[:]  # [r, d] f32 aggregated gradient of this block
         touched = jnp.any(g != 0.0, axis=1, keepdims=True)  # [r, 1]
         g2 = jnp.mean(g * g, axis=1, keepdims=True)  # [r, 1]
-        acc_col = _lane_to_sublane(acc_ref[0:1, pl.ds(blk * r, r)])  # [r, 1]
-        scl_col = _lane_to_sublane(scl_ref[0:1, pl.ds(blk * r, r)])  # [r, 1]
+        acc_col = _lane_to_sublane(acc_ref[0:1, :])  # [r, 1]
+        scl_col = _lane_to_sublane(scl_ref[0:1, :])  # [r, 1]
         vals = tab_ref[:]  # [r, d] int8
         rows = vals.astype(jnp.float32) * (scl_col / 127.0)
         new_acc = jnp.where(touched, acc_col + g2, acc_col)
@@ -591,10 +592,10 @@ def _fused_update_kernel_quantized(
         denom = jnp.where(new_scl > 0, new_scl, 1.0)
         q = jnp.clip(jnp.round(new_rows / denom * 127.0), -127, 127).astype(jnp.int8)
         out_tab_ref[:] = jnp.where(touched, q, vals)
-        out_scl_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(
+        out_scl_ref[0:1, :] = _sublane_to_lane(
             jnp.where(touched, new_scl, scl_col)
         )
-        out_acc_ref[0:1, pl.ds(blk * r, r)] = _sublane_to_lane(new_acc)
+        out_acc_ref[0:1, :] = _sublane_to_lane(new_acc)
 
 
 @functools.partial(
@@ -643,13 +644,13 @@ def block_sorted_rowwise_adagrad_fused_quantized(
             pl.BlockSpec((1, 8, c), lambda w, wb, wc, wr: (wc[w], 0, 0)),
             pl.BlockSpec((c, d), lambda w, wb, wc, wr: (wc[w], 0)),
             pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
         ],
         out_specs=[
             pl.BlockSpec((r, d), lambda w, wb, wc, wr: (wb[w], 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
-            pl.BlockSpec((1, n_pad), lambda w, wb, wc, wr: (0, 0)),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
+            pl.BlockSpec((1, r), lambda w, wb, wc, wr: (0, wb[w])),
         ],
         scratch_shapes=[pltpu.VMEM((r, d), jnp.float32)],
     )

@@ -12,6 +12,8 @@ from two_tower_recommender_model_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_compact_multi_step,
     make_sharded_eval_step,
     make_sharded_multi_step,
+    make_sharded_topk,
     make_sharded_train_step,
     shard_train_state,
+    unshard_train_state,
 )

@@ -1076,34 +1076,58 @@ def make_sharded_topk(mesh, k: int, corpus_chunk: int = 4096):
     (`ops/topk.py`), then the per-shard candidates (k per device) are
     all-gathered and merged — comm is O(devices * Q * k), never the scores
     matrix. The multi-chip form of the retrieval eval's ANN-service
-    replacement (`04_evaluate_retrieval.py:131-141`)."""
+    replacement (`04_evaluate_retrieval.py:131-141`).
+
+    Corpora whose row count is not a device multiple (the common case —
+    Instacart's 49,688 items minus the id-0 sentinel is 49,687) are padded
+    here and the pad rows masked to -inf BEFORE each shard's local top-k, so
+    they can never evict real candidates; returned indices are exact global
+    rows of the unpadded corpus."""
     from two_tower_recommender_model_tpu.ops.topk import _topk_merge_scan
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(FLAT_AXES, None)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    def topk(queries, corpus_shard):
-        rows = corpus_shard.shape[0]
-        didx = jax.lax.axis_index(FLAT_AXES)
-        chunk = min(corpus_chunk, rows)
-        pad = (-rows) % chunk
-        padded = jnp.pad(corpus_shard, ((0, pad), (0, 0))) if pad else corpus_shard
-        vals, idx = _topk_merge_scan(queries, padded, k, chunk, valid=rows)
-        idx = idx + didx * rows  # local -> global row ids
-        # merge candidates from every shard
-        av = jax.lax.all_gather(vals, FLAT_AXES, axis=0)  # [ndev, Q, k]
-        ai = jax.lax.all_gather(idx, FLAT_AXES, axis=0)
-        ndev = av.shape[0]
-        av = jnp.moveaxis(av, 0, 1).reshape(queries.shape[0], ndev * k)
-        ai = jnp.moveaxis(ai, 0, 1).reshape(queries.shape[0], ndev * k)
-        best, pos = jax.lax.top_k(av, k)
-        return best, jnp.take_along_axis(ai, pos, axis=1)
+    ndev = int(mesh.devices.size)
 
-    return jax.jit(topk)
+    @functools.lru_cache(maxsize=8)
+    def build(valid_global: int):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(FLAT_AXES, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def topk(queries, corpus_shard):
+            rows = corpus_shard.shape[0]
+            didx = jax.lax.axis_index(FLAT_AXES)
+            # rows beyond the true corpus (global padding lands in the last
+            # shard(s)) are masked inside the merge scan, pre-selection
+            local_valid = jnp.clip(valid_global - didx * rows, 0, rows)
+            chunk = min(corpus_chunk, rows)
+            pad = (-rows) % chunk
+            padded = jnp.pad(corpus_shard, ((0, pad), (0, 0))) if pad else corpus_shard
+            vals, idx = _topk_merge_scan(queries, padded, k, chunk,
+                                         valid=local_valid)
+            idx = idx + didx * rows  # local -> global row ids
+            # merge candidates from every shard
+            av = jax.lax.all_gather(vals, FLAT_AXES, axis=0)  # [ndev, Q, k]
+            ai = jax.lax.all_gather(idx, FLAT_AXES, axis=0)
+            n = av.shape[0]
+            av = jnp.moveaxis(av, 0, 1).reshape(queries.shape[0], n * k)
+            ai = jnp.moveaxis(ai, 0, 1).reshape(queries.shape[0], n * k)
+            best, pos = jax.lax.top_k(av, k)
+            return best, jnp.take_along_axis(ai, pos, axis=1)
+
+        return jax.jit(topk)
+
+    def call(queries, corpus):
+        rows = corpus.shape[0]
+        pad = (-rows) % ndev
+        if pad:
+            corpus = jnp.concatenate(
+                [corpus, jnp.zeros((pad, corpus.shape[1]), corpus.dtype)])
+        return build(rows)(queries, corpus)
+
+    return call
 
 
 # ---------------------------------------------------------------------------
