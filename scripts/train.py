@@ -188,6 +188,7 @@ def main():
         # kernels only when the sorted table's dim and the batch fit the
         # tiling and its storage has a block path (f32/int8)
         from two_tower_recommender_model_tpu.ops.block_sorted import (
+            block_sorted_profitable,
             block_sorted_shapes_ok,
         )
 
@@ -197,6 +198,15 @@ def main():
             ok = (block_sorted_shapes_ok(mcfg.table(st).embedding_dim,
                                          args.batch_size)
                   and mcfg.table_dtype_of(st) in ("float32", "int8"))
+        if ok:
+            # the block kernels stream every table block, so they lose to
+            # XLA gather/scatter once the batch spreads too thin over the
+            # table (r5 crossover sweep: wins at 651 ids/block, loses at
+            # 67) — auto turns them off for every-table-too-large configs
+            ok = any(
+                block_sorted_profitable(t.num_embeddings, args.batch_size)
+                for t in mcfg.tables
+            )
         # kernel dtype follows the user's chosen compute class: bf16 towers
         # (--compute-dtype bfloat16) get bf16 kernel operands too — same
         # numerics class, full-scale recall parity + 6.53 ms vs 8.5 ms steps

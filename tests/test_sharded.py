@@ -361,3 +361,164 @@ def test_pad_to_eval_with_all_padding_batches(setup):
         assert pad_batch_to(feat(c), 64).batch_size == 64
     with pytest.raises(ValueError):
         pad_batch_to(feat(cols[0]), 32)
+
+
+# ---------------------------------------------------------------------------
+# all-to-all exchange (sharded_exchange="alltoall", DESIGN §9)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_alltoall_matches_single_device(setup, mesh_shape):
+    """The O(B_local x D) all-to-all exchange must reproduce single-device
+    numerics exactly like the dense scheme does — including the model-axis
+    responsibility split and duplicate-id grad aggregation on the owner."""
+    mcfg, tcfg, batches = setup
+    tcfg = cfg_lib.TrainConfig(
+        sparse_learning_rate=0.05, learning_rate=1e-3,
+        sharded_exchange="alltoall", exchange_capacity_factor=2.0,
+    )
+    mesh = make_mesh(*mesh_shape)
+    plan = plan_sharding(mcfg, mesh.devices.size, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    ref_state = state
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    for b in batches:
+        ref_state, ref_out = ref_step(ref_state, b)
+
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    for b in batches:
+        sh_state, out = step(sh_state, _put_batch(b, mesh))
+        assert int(out["exchange_overflow"]) == 0
+
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]), rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    for name in ref_state.tables:
+        np.testing.assert_allclose(
+            gathered.tables[name], np.asarray(ref_state.tables[name]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            gathered.adagrad_acc[name], np.asarray(ref_state.adagrad_acc[name]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_alltoall_hot_id_dedupes_not_overflows(setup):
+    """A pathologically hot id (every row the same user) must NOT overflow:
+    the exchange dedupes, so a hot id costs ONE bucket slot and one wire
+    row regardless of its multiplicity — and the step still matches the
+    single-device numerics."""
+    mcfg, _, _ = setup
+    tcfg = cfg_lib.TrainConfig(
+        sharded_exchange="alltoall", exchange_capacity_factor=0.05,
+    )
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    feat = Featurizer(mcfg)
+    skewed = jax.tree.map(jnp.asarray, feat({
+        "user_id": np.full(512, 5, np.int64),  # every id -> one bucket slot
+        "product_id": np.arange(1, 513, dtype=np.int64) % 59 + 1,
+        "label": np.ones(512, np.int64),
+    }))
+    ref_step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ref_state, ref_out = ref_step(state, skewed)
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    sh_state, out = step(sh_state, _put_batch(skewed, mesh))
+    assert int(out["exchange_overflow"]) == 0
+    np.testing.assert_allclose(float(out["loss"]), float(ref_out["loss"]),
+                               rtol=1e-5)
+    gathered = unshard_train_state(sh_state, plan, mcfg)
+    np.testing.assert_allclose(
+        gathered.tables["t_user_id"], np.asarray(ref_state.tables["t_user_id"]),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_alltoall_overflow_flag():
+    """DISTINCT ids past a bucket's unique-id capacity are dropped AND
+    counted (the max_unique_ids_per_partition-style guard): many distinct
+    ids concentrated on one shard with a tiny capacity_factor must fire
+    exchange_overflow instead of failing silently. Note the rows-per-shard
+    capacity bound makes this impossible on small tables — the table must
+    be large enough that the batch-proportional capacity binds."""
+    mcfg = cfg_lib.two_tower_model_config(num_users=4096, num_items=60,
+                                          embedding_dim=16, layer_sizes=(32, 8))
+    tcfg = cfg_lib.TrainConfig(
+        sharded_exchange="alltoall", exchange_capacity_factor=0.05,
+    )
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    feat = Featurizer(mcfg)
+    # 512 rows -> 64 DISTINCT ids per data slice, all owned by shard 0
+    # (rows_per_shard = 512), against a unique-capacity of 8
+    concentrated = jax.tree.map(jnp.asarray, feat({
+        "user_id": (np.arange(512, dtype=np.int64) % 500) + 1,
+        "product_id": np.arange(1, 513, dtype=np.int64) % 59 + 1,
+        "label": np.ones(512, np.int64),
+    }))
+    _, out = step(sh_state, _put_batch(concentrated, mesh))
+    assert int(out["exchange_overflow"]) > 0
+
+
+def test_alltoall_bf16_wire_close_to_exact(setup):
+    """exchange_wire_dtype=bfloat16 halves the dominant collective payloads;
+    values round once on the wire, so results track the exact path at bf16
+    tolerance."""
+    mcfg, _, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg,
+                                          cfg_lib.TrainConfig())
+    outs = {}
+    for wire in ("float32", "bfloat16"):
+        tcfg = cfg_lib.TrainConfig(
+            sharded_exchange="alltoall", exchange_wire_dtype=wire,
+            exchange_capacity_factor=2.0,
+        )
+        sh_state = shard_train_state(state, plan, mesh)
+        step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan,
+                                       donate=False)
+        s = sh_state
+        for b in batches[:2]:
+            s, out = step(s, _put_batch(b, mesh))
+        outs[wire] = (float(out["loss"]),
+                      unshard_train_state(s, plan, mcfg).tables["t_user_id"])
+    np.testing.assert_allclose(outs["bfloat16"][0], outs["float32"][0], rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(outs["bfloat16"][1]),
+                               np.asarray(outs["float32"][1]),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_alltoall_eval_matches_dense(setup):
+    """The eval forward under the alltoall exchange == the dense exchange."""
+    mcfg, _, batches = setup
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg,
+                                          cfg_lib.TrainConfig())
+    sh_state = shard_train_state(state, plan, mesh)
+    results = {}
+    for exchange in ("dense", "alltoall"):
+        tcfg = cfg_lib.TrainConfig(sharded_exchange=exchange,
+                                   exchange_capacity_factor=2.0)
+        estep = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
+        es = eval_state_init()
+        for b in batches[:2]:
+            es = estep(sh_state, es, _put_batch(b, mesh))
+        results[exchange] = (float(mean_compute(es.loss)),
+                             float(auroc_compute(es.auroc)))
+    np.testing.assert_allclose(results["alltoall"][0], results["dense"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results["alltoall"][1], results["dense"][1],
+                               rtol=1e-6)

@@ -231,6 +231,32 @@ class TrainConfig:
     # uses it on TPU for big aligned batches on the SINGLE-DEVICE step; the
     # sharded step always uses the scan path (GSPMD partitions it).
     softmax_kernel: str = "auto"
+    # "dense" | "alltoall": collective scheme for row-sharded (and bucketed
+    # table-wise) f32 tables in the SHARDED step. "dense" is the original
+    # psum_scatter/all_gather exchange — per-device comm O(B_global x D),
+    # simple and exact, fine at small meshes. "alltoall" routes each
+    # example's rows/grads directly between the example's data shard and the
+    # id's table shard over static-capacity buckets — per-device comm
+    # O(B_local x D), the scheme that scales (DESIGN §9). The exchange
+    # DEDUPES: a hot id costs one bucket slot and one wire row however many
+    # batch rows repeat it (duplicate grads pre-aggregate sender-side).
+    # Capacity follows the TPU-embedding precedent
+    # (max_unique_ids_per_partition): each (sender, owner) bucket holds
+    # min(ceil(B_local*L/ndev * capacity_factor), rows_per_shard) DISTINCT
+    # ids — when the rows_per_shard bound binds (small tables), overflow is
+    # impossible by construction. Distinct ids past capacity are dropped
+    # from that step and COUNTED — the step reports `exchange_overflow`,
+    # and training should treat nonzero as a configuration error (raise
+    # capacity_factor). Uniform/hashed ids concentrate tightly around
+    # B_local*L/ndev, so 1.25 has astronomically small overflow odds at
+    # production batch sizes.
+    sharded_exchange: str = "dense"
+    exchange_capacity_factor: float = 1.25
+    # "float32" (exact) | "bfloat16": wire dtype of the row/grad payloads in
+    # the alltoall exchange (ids always int32). bf16 halves the dominant
+    # collective bytes; values round once on the wire (the same opt-in
+    # numerics class as scatter_buffer_dtype).
+    exchange_wire_dtype: str = "float32"
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1
 

@@ -265,6 +265,22 @@ def block_sorted_shapes_ok(d: int, m: int, c: int = 512) -> bool:
     return d % 128 == 0 and c % 128 == 0 and m % c == 0
 
 
+def block_sorted_profitable(n_rows: int, m: int, r: int = 512,
+                            min_ids_per_block: int = 128) -> bool:
+    """Arithmetic-intensity gate: the block kernels visit EVERY r-row table
+    block at least once (streaming reads for the gather, read+write for the
+    fused update) and pay one [C, R] x [R, D] one-hot MXU pass per visit, so
+    their cost scales with TABLE size, not batch — the right trade only
+    while each block serves enough ids. Measured on v5e at bs=262k
+    (round-5 crossover sweep, /tmp/crossover_r5.log): 206k rows
+    (651 ids/block) block f32 11.3 ms vs XLA 12.7 — block wins; 2M rows
+    (67 ids/block) block 28.4 vs XLA-sorted 22.9 — block loses; 8M rows
+    (17 ids/block) 86.0 vs 53.2 — block loses badly. Threshold 128 sits
+    between the measured win and loss points."""
+    blocks = -(-n_rows // r)
+    return m >= min_ids_per_block * blocks
+
+
 @functools.partial(
     jax.jit, static_argnames=("r", "c", "matmul_dtype", "interpret", "out_dtype")
 )
@@ -417,6 +433,12 @@ def block_sorted_rowwise_adagrad_fused(
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
         interpret=interpret,
+        # in-place: the [N, D] table and [1, N] accumulator update into their
+        # own buffers (each block is read, updated, written once — visits are
+        # consecutive) — without this the kernel materializes a SECOND full
+        # table and a 20M-row f32 table cannot fit HBM (r5 crossover OOM).
+        # Indices count all operands including the 3 scalar-prefetch args.
+        input_output_aliases={5: 0, 6: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -663,6 +685,10 @@ def block_sorted_rowwise_adagrad_fused_quantized(
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
         interpret=interpret,
+        # in-place table/scales/accumulator (see the f32 kernel note: without
+        # aliasing a second full table buffer doubles HBM at large N);
+        # indices count all operands including the 3 scalar-prefetch args
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),

@@ -277,6 +277,213 @@ def make_sharded_lookup(mesh):
     return lookup
 
 
+# ---------------------------------------------------------------------------
+# all-to-all exchange (the O(B_local x D) scheme — DESIGN §9)
+#
+# The dense scheme above moves O(B_global x D) bytes per DEVICE per step
+# (psum_scatter of the dense partial-pool + grad all_gather), so its
+# comm/compute ratio grows linearly with the mesh and weak scaling collapses
+# (§9's model: ~13% at 8 chips). Here each example's rows and grads travel
+# DIRECTLY between the example's data shard and the id's table shard:
+#
+#   route    owner = id // rows_per_shard; sort local ids by owner; place
+#            each into a static [ndev, cap] bucket (rank within its owner
+#            group), cap = ceil(B_loc*L/ndev * capacity_factor)
+#   forward  all_to_all(ids)  ->  owner gathers its rows  ->  all_to_all back
+#   backward all_to_all(ids, grads) -> owner runs sorted-segment Adagrad
+#
+# Static capacity is the TPU-native answer to TorchRec's variable-split NCCL
+# all-to-all (XLA collectives are static-shaped): the same design point as
+# TPUEmbedding's max_ids_per_partition. Ids past capacity are dropped from
+# that step and COUNTED (`exchange_overflow` in the step output) — with
+# hashed/uniform ids the bucket loads concentrate at B_loc*L/ndev with
+# sqrt-size fluctuations, so capacity_factor 1.25 makes overflow
+# astronomically rare at production batches; skewed id streams should raise
+# it (or fall back to the dense scheme, which has no capacity).
+#
+# Meshes with a model axis: each (data i, model j) replica holds the same
+# batch slice, so replica j takes responsibility for exactly the owners
+# whose flat index has model-coordinate j — every id is routed ONCE
+# globally, every bucket still loads ~B_loc*L/ndev, and the pooled partial
+# results psum over the model axis (a [B_loc, D] collective, small).
+
+
+def _a2a_route(flat_ids, w_flat, rows, ndev, cap, responsible):
+    """Bucket-slot assignment for the all-to-all exchange, DEDUPLICATED:
+    every distinct id occupies ONE slot of its owner's bucket, however many
+    batch positions repeat it (duplicate lookups read the same response
+    slot; duplicate grads pre-aggregate into the same send slot). Capacity
+    therefore bounds UNIQUE ids per (sender, owner) bucket — TPUEmbedding's
+    max_unique_ids_per_partition, and the reason hot ids cost one row of
+    wire, not one per occurrence.
+
+    Returns (slot_for_pos [M] int32 in [0, ndev*cap] with ndev*cap = the
+    dump slot for ids that don't route, ok [M] bool, overflow = count of
+    DISTINCT ids dropped past capacity). Routing = sort by id (owner =
+    id // rows is monotone in id, so owner groups are automatic), unique-
+    rank within the owner group, slot = owner*cap + rank."""
+    m = flat_ids.shape[0]
+    ok = (w_flat != 0) & responsible
+    big = jnp.int32(ndev * rows)  # sorts invalid entries last; owner >= ndev
+    key = jnp.where(ok, flat_ids, big).astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    skey, pos = jax.lax.sort((key, iota), num_keys=1)
+    owner_s = jnp.minimum(skey // rows, ndev)
+    is_new = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (skey[1:] != skey[:-1]).astype(jnp.int32),
+    ])
+    urank = jnp.cumsum(is_new) - 1  # global unique rank (sorted order)
+    ofirst = jnp.searchsorted(owner_s, owner_s, side="left")
+    rank = urank - jnp.take(urank, ofirst)  # unique rank within owner group
+    fits = (owner_s < ndev) & (rank < cap)
+    slot_sorted = jnp.where(fits, owner_s * cap + rank, ndev * cap)
+    slot_for_pos = jnp.zeros(m, jnp.int32).at[pos].set(slot_sorted)
+    overflow = jnp.sum(is_new * ((owner_s < ndev) & (rank >= cap)))
+    return slot_for_pos, ok, overflow
+
+
+def _a2a_cap(m: int, ndev: int, capacity_factor: float, rows: int) -> int:
+    """Bucket capacity: ceil(m * capacity_factor / ndev), never more than
+    the owner's row count — a sender cannot address more UNIQUE rows on one
+    shard than the shard holds, so when the `rows` bound binds, overflow is
+    IMPOSSIBLE by construction (and small tables' buckets shrink to their
+    shard size, cutting wire bytes: the flagship 50k-item table's exchange
+    drops ~5x vs batch-proportional buckets at B_loc=262k)."""
+    cap = max(int(m * capacity_factor) // ndev, 1)
+    cap = min(cap, rows)
+    return -(-cap // 8) * 8  # sublane multiple
+
+
+def make_alltoall_lookup(mesh, capacity_factor: float = 1.25,
+                         wire_dtype: str = "float32"):
+    """Weighted-sum pooled lookup over a row-sharded table, all-to-all
+    exchange. Same result class as `make_sharded_lookup` (exact f32 rows,
+    f32 pooling; `wire_dtype="bfloat16"` rounds row payloads once on the
+    wire, opt-in). Returns (pooled [B_loc, D], overflow count)."""
+    wdt = jnp.dtype(wire_dtype)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(FLAT_AXES, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids, w):
+        ndev = jax.lax.axis_size(FLAT_AXES)
+        didx = jax.lax.axis_index(FLAT_AXES)
+        model_size = jax.lax.axis_size(MODEL_AXIS)
+        my_model = jax.lax.axis_index(MODEL_AXIS)
+        rows, d = table_shard.shape
+        b, slots = ids.shape
+        m = b * slots
+        cap = _a2a_cap(m, ndev, capacity_factor, rows)
+        flat_ids = ids.reshape(m).astype(jnp.int32)
+        w_flat = w.reshape(m)
+        owner = jnp.clip(flat_ids // rows, 0, ndev - 1)
+        responsible = (owner % model_size) == my_model
+        slot, ok, overflow = _a2a_route(flat_ids, w_flat, rows, ndev, cap,
+                                        responsible)
+        sentinel = jnp.int32(ndev * rows)
+        send_ids = jnp.full((ndev * cap + 1,), sentinel, jnp.int32)
+        send_ids = send_ids.at[slot].set(flat_ids)[: ndev * cap]
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(ndev, cap), FLAT_AXES,
+            split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(-1)
+        local_req = recv_ids - didx * rows
+        req_ok = (local_req >= 0) & (local_req < rows)
+        rows_req = jnp.take(table_shard, jnp.where(req_ok, local_req, 0), axis=0)
+        rows_req = jnp.where(req_ok[:, None], rows_req, 0).astype(wdt)
+        resp = jax.lax.all_to_all(
+            rows_req.reshape(ndev, cap, d), FLAT_AXES,
+            split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(-1, d).astype(jnp.float32)
+        resp = jnp.concatenate([resp, jnp.zeros((1, d), jnp.float32)])
+        emb = jnp.take(resp, slot, axis=0)  # dump slot -> zero row
+        w_eff = jnp.where(ok, w_flat, 0.0)
+        pooled = (emb * w_eff[:, None]).reshape(b, slots, d).sum(axis=1)
+        pooled = jax.lax.psum(pooled, MODEL_AXIS)
+        return pooled, jax.lax.psum(overflow, FLAT_AXES)
+
+    return lookup
+
+
+def make_alltoall_update(mesh, lr: float, eps: float,
+                         capacity_factor: float = 1.25,
+                         wire_dtype: str = "float32",
+                         bs_kernel: str = "off"):
+    """Fused row-wise Adagrad over a row-sharded table, all-to-all exchange:
+    each replica routes its (w-scaled) per-slot grads straight to the id's
+    owning shard, which aggregates duplicates with the sorted-segment /
+    block-kernel machinery (same numerics class as the dense scheme — f32
+    summation order). Returns (table, acc, overflow count)."""
+    wdt = jnp.dtype(wire_dtype)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(FLAT_AXES, None), P(FLAT_AXES),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+        ),
+        out_specs=(P(FLAT_AXES, None), P(FLAT_AXES), P()),
+        check_vma=False,
+    )
+    def update(table_shard, acc_shard, ids, w, row_g):
+        ndev = jax.lax.axis_size(FLAT_AXES)
+        didx = jax.lax.axis_index(FLAT_AXES)
+        model_size = jax.lax.axis_size(MODEL_AXIS)
+        my_model = jax.lax.axis_index(MODEL_AXIS)
+        rows, d = table_shard.shape
+        b, slots = ids.shape
+        m = b * slots
+        cap = _a2a_cap(m, ndev, capacity_factor, rows)
+        flat_ids = ids.reshape(m).astype(jnp.int32)
+        w_flat = w.reshape(m)
+        owner = jnp.clip(flat_ids // rows, 0, ndev - 1)
+        responsible = (owner % model_size) == my_model
+        slot, ok, overflow = _a2a_route(flat_ids, w_flat, rows, ndev, cap,
+                                        responsible)
+        sentinel = jnp.int32(ndev * rows)
+        send_ids = jnp.full((ndev * cap + 1,), sentinel, jnp.int32)
+        send_ids = send_ids.at[slot].set(
+            jnp.where(ok, flat_ids, sentinel))[: ndev * cap]
+        g_flat = row_g.reshape(m, d)
+        # duplicate ids share a slot: scatter-ADD pre-aggregates their grads
+        # locally (f32), so each distinct row crosses the wire once
+        send_g = jnp.zeros((ndev * cap + 1, d), jnp.float32)
+        send_g = send_g.at[slot].add(
+            jnp.where(ok[:, None], g_flat, 0.0))[: ndev * cap].astype(wdt)
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(ndev, cap), FLAT_AXES,
+            split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(-1)
+        recv_g = jax.lax.all_to_all(
+            send_g.reshape(ndev, cap, d), FLAT_AXES,
+            split_axis=0, concat_axis=0, tiled=True,
+        ).reshape(-1, d).astype(jnp.float32)
+        local_req = recv_ids - didx * rows
+        req_ok = (local_req >= 0) & (local_req < rows)
+        flat_local = jnp.where(req_ok, local_req, rows).astype(jnp.int32)
+        if (
+            bs_kernel != "off"
+            and table_shard.dtype == jnp.float32
+            and _bs_shapes_ok(d, flat_local.shape[0])
+        ):
+            new_t, new_a = opt_lib.device_sorted_fused_adagrad(
+                table_shard, acc_shard, flat_local, recv_g, lr, eps,
+                matmul_dtype=bs_kernel,
+            )
+        else:
+            new_t, new_a = opt_lib.sparse_rowwise_adagrad(
+                table_shard, acc_shard, flat_local, recv_g, lr, eps)
+        return new_t, new_a, jax.lax.psum(overflow, FLAT_AXES)
+
+    return update
+
+
 def make_sharded_update(mesh, lr: float, eps: float, bs_kernel: str = "off"):
     """Fused row-wise Adagrad on a row-sharded table. `row_g` is the per-slot
     gradient [B_loc, Lt, D] (already weight-scaled); each device applies only
@@ -630,6 +837,9 @@ def make_sharded_forward(
     plan: ShardingPlan,
     block_sorted_feature: str | None = None,
     block_sorted_dtype: str = "float32",
+    exchange: str = "dense",
+    capacity_factor: float = 1.25,
+    exchange_wire_dtype: str = "float32",
 ):
     from two_tower_recommender_model_tpu.ops.quantized import (
         QuantizedTable,
@@ -637,6 +847,13 @@ def make_sharded_forward(
     )
 
     lookup = make_sharded_lookup(mesh)
+    a2a_lookup = None
+    if exchange == "alltoall":
+        a2a_lookup = make_alltoall_lookup(
+            mesh, capacity_factor=capacity_factor, wire_dtype=exchange_wire_dtype
+        )
+    elif exchange != "dense":
+        raise ValueError(f"sharded_exchange must be dense|alltoall, got {exchange!r}")
     col_lookup = make_column_lookup(mesh)
     q_lookup = make_quantized_sharded_lookup(mesh)
     bs_lookup = None
@@ -664,6 +881,10 @@ def make_sharded_forward(
                 r = plan.buckets[spec.bucket].rows_per_device
                 base = spec.owner * r + spec.bucket_offset
                 bucket_arr = tables[spec.bucket]
+                # buckets keep the dense exchange even under "alltoall":
+                # table-wise concentrates every id of a table on ONE owner,
+                # so bucket a2a would need m-sized (not m/ndev) capacity —
+                # no better than the dense scheme it would replace
                 bucket_lookup = (
                     q_lookup if isinstance(bucket_arr, QuantizedTable) else lookup
                 )
@@ -676,7 +897,10 @@ def make_sharded_forward(
                 else:  # replicated
                     pooled[fc.name] = quantized_pooled_lookup(table, feat.ids, w)
             elif spec.strategy == ROW_SHARDED:
-                pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
+                if a2a_lookup is not None:
+                    pooled[fc.name], _ = a2a_lookup(tables[fc.table], feat.ids, w)
+                else:
+                    pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
             elif spec.strategy == COLUMN_SHARDED:
                 out = col_lookup(tables[fc.table], feat.ids, w)
                 if spec.padded_dim > spec.embedding_dim:
@@ -752,11 +976,22 @@ def make_sharded_train_step(
             else None
         ),
         block_sorted_dtype=bs_kernel if bs_kernel != "off" else "float32",
+        exchange=train_cfg.sharded_exchange,
+        capacity_factor=train_cfg.exchange_capacity_factor,
+        exchange_wire_dtype=train_cfg.exchange_wire_dtype,
     )
     sharded_update = make_sharded_update(
         mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
         bs_kernel=bs_kernel,
     )
+    a2a_update = None
+    if train_cfg.sharded_exchange == "alltoall":
+        a2a_update = make_alltoall_update(
+            mesh, train_cfg.sparse_learning_rate, train_cfg.adagrad_eps,
+            capacity_factor=train_cfg.exchange_capacity_factor,
+            wire_dtype=train_cfg.exchange_wire_dtype,
+            bs_kernel=bs_kernel,
+        )
     sorted_update = sorted_rep_update = None
     if sorted_table is not None:
         sorted_buf = (
@@ -836,6 +1071,7 @@ def make_sharded_train_step(
 
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
+        overflow = None
         for tname, parts in per_table.items():
             ids = jnp.concatenate([p[0] for p in parts], axis=1)
             w = jnp.concatenate([p[1] for p in parts], axis=1)
@@ -843,7 +1079,8 @@ def make_sharded_train_step(
             from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
 
             if tname in plan.buckets:
-                # bucket is a row-sharded array (QuantizedTable for int8)
+                # bucket is a row-sharded array (QuantizedTable for int8);
+                # buckets keep the dense exchange (see make_sharded_forward)
                 upd = (
                     q_sharded_update
                     if isinstance(state.tables[tname], QuantizedTable)
@@ -862,15 +1099,23 @@ def make_sharded_train_step(
                     if tname == sorted_table:
                         # built with quantized=True when the table is int8
                         upd = sorted_update
+                    elif quantized:
+                        upd = q_sharded_update
                     else:
-                        upd = q_sharded_update if quantized else sharded_update
+                        upd = a2a_update if a2a_update is not None else sharded_update
                 elif tname == sorted_table and not quantized:
                     upd = sorted_rep_update
                 else:
                     upd = replicated_update
-            new_tables[tname], new_acc[tname] = upd(
-                state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
-            )
+            if upd is a2a_update:
+                new_tables[tname], new_acc[tname], ovf = upd(
+                    state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
+                )
+                overflow = ovf if overflow is None else overflow + ovf
+            else:
+                new_tables[tname], new_acc[tname] = upd(
+                    state.tables[tname], state.adagrad_acc[tname], ids, w, row_g
+                )
 
         new_state = TrainState(
             step=state.step + 1,
@@ -880,7 +1125,12 @@ def make_sharded_train_step(
             dense_opt_state=new_opt_state,
             item_counts=new_counts,
         )
-        return new_state, {"loss": loss, "logits": logits}
+        out = {"loss": loss, "logits": logits}
+        if overflow is not None:
+            # nonzero => ids were dropped this step (bucket capacity): raise
+            # exchange_capacity_factor. See TrainConfig.sharded_exchange.
+            out["exchange_overflow"] = overflow
+        return new_state, out
 
     if not jit:
         return step
@@ -1044,7 +1294,12 @@ def compact_macro_shardings_for_scheme(
 
 def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh, plan: ShardingPlan):
     loss_fn = losses_lib.make_loss_fn("bce")
-    forward, _ = make_sharded_forward(model_cfg, mesh, plan)
+    forward, _ = make_sharded_forward(
+        model_cfg, mesh, plan,
+        exchange=train_cfg.sharded_exchange,
+        capacity_factor=train_cfg.exchange_capacity_factor,
+        exchange_wire_dtype=train_cfg.exchange_wire_dtype,
+    )
 
     @jax.jit
     def step(state: TrainState, eval_state: EvalState, batch: Batch):
