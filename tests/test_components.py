@@ -278,3 +278,27 @@ def test_precomputed_embeddings_roundtrip(tmp_path):
         load_precomputed_embeddings(p, num_ids=5)
     with pytest.raises(ValueError, match="missing array"):
         load_precomputed_embeddings(p, id_col="nope_id")
+
+
+def test_xgboost_baseline_harness(tmp_path):
+    """SURVEY §2.7's gradient-boosted comparison harness (reference
+    workshop/ray-xgboost/02-ray-xgboost-example.py:170-308): trains the
+    histogram-boosted baseline on the synthetic table, logs timing+metrics
+    through the tracking store, and learns better than chance."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from xgboost_baseline import train_baseline
+
+    out = train_baseline(rows=5000, cols=10, estimators=15, depth=4,
+                         runs_root=str(tmp_path / "runs"))
+    assert out["valid_auroc"] > 0.6  # learnable signal, learned
+    assert out["fit_seconds"] > 0 and out["rows_per_sec"] > 0
+    from two_tower_recommender_model_tpu.utils.tracking import latest_run
+
+    run = latest_run(str(tmp_path / "runs"))
+    assert run.params["n_estimators"] == 15
+    assert any("valid_logloss" in m for m in run.metrics())
+
+    # multiclass arm (the reference's num_labels>2 softprob switch)
+    out3 = train_baseline(rows=3000, cols=8, labels=3, estimators=10, depth=3)
+    assert out3["valid_error"] < 0.6
