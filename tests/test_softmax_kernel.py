@@ -307,3 +307,33 @@ def test_auto_routing_measured_defaults():
     assert not _use_fused_softmax(65536, 64, "off", 8192)
     # shape gates still apply under "on"
     assert not _use_fused_softmax(65537, 64, "on")
+
+
+def test_fused_pos_consistency_large_scores():
+    """ADVICE r4: the positive score is f32 outside the kernel while its
+    in-lse contribution is bf16-rounded, so per-row (lse - pos) can go
+    slightly negative when the positive dominates. Bound the consequence at
+    LARGE score magnitudes: (a) on a worst-case batch (q == c_pos rows, so
+    pos is the row max and lse ~= pos) the fused loss stays >= the -1e-3
+    rounding floor instead of drifting negative, and (b) fused-vs-scan loss
+    gap stays in the bf16-operand class as scores grow (|scores| up to
+    ~100)."""
+    rng = np.random.default_rng(11)
+    for scale in (1.0, 4.0, 10.0):
+        base = rng.normal(size=(B, D)).astype(np.float32) * scale / np.sqrt(D)
+        q = jnp.asarray(base)
+        c = jnp.asarray(base + 0.01 * rng.normal(size=(B, D)).astype(np.float32))
+        lab = jnp.ones((B,), jnp.float32)
+        lf = sampled_softmax_fused(q, c, lab, None, None, 1.0, interpret=True)
+        from two_tower_recommender_model_tpu.models.losses import (
+            _chunked_sampled_softmax,
+        )
+
+        ls = _chunked_sampled_softmax(q, c, lab, None, None, 1.0, 128)
+        # the loss is a mean of (lse - pos) >= 0 terms up to bf16 rounding of
+        # the lse operands; it must not drift negative...
+        assert float(lf) > -1e-3, (scale, float(lf))
+        # ...and must track the scan loss at bf16-operand tolerance even
+        # when scores reach |~scale^2| magnitudes
+        assert abs(float(lf) - float(ls)) <= 2e-2 * (1.0 + abs(float(ls))), (
+            scale, float(lf), float(ls))
