@@ -86,7 +86,17 @@ def row_grads_from_pooled(
 
     d pooled[b] / d row[b, l] = mask[b, l]       (sum pooling)
                               = mask[b, l] / n_b (mean pooling)
+
+    Single-slot fast path: with L == 1 the mask multiply only zeroes DEAD
+    slots, and every consumer drops dead slots by the sentinel id anyway
+    (`row_grad_flatten` maps mask==0 to id N; the scatter paths drop it,
+    the block kernels' one-hot never matches it) — so the [B, D]
+    read+write pass the multiply costs is pure overhead (mean pooling's
+    n_b is 1 on live single-slot rows). Dead-slot grad VALUES are then
+    garbage-but-unused by contract.
     """
+    if mask.shape[1] == 1 and pooling in ("sum", "mean"):
+        return pooled_grad[:, None, :]
     g = pooled_grad[:, None, :] * mask[..., None].astype(pooled_grad.dtype)
     if pooling == "mean":
         counts = mask.sum(axis=1)[:, None, None].astype(g.dtype)

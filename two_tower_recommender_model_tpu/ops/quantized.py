@@ -48,9 +48,25 @@ def _quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scales
 
 
-def quantize_table(table: jax.Array) -> QuantizedTable:
-    q, scales = _quantize_rows(table.astype(jnp.float32))
-    return QuantizedTable(values=q, scales=scales)
+def quantize_table(table: jax.Array, row_chunk: int = 1 << 21) -> QuantizedTable:
+    """Row-local quantization, CHUNKED past `row_chunk` rows: one-shot
+    `_quantize_rows` materializes f32 temporaries the size of the table
+    (abs / the division), which at 20M x 128 means another ~10 GB on top of
+    the f32 input — over HBM (r5 crossover RESOURCE_EXHAUSTED). Chunking
+    bounds the transient to `row_chunk` rows with identical results (the
+    quantization is per-row)."""
+    n = table.shape[0]
+    if n <= row_chunk:
+        q, scales = _quantize_rows(table.astype(jnp.float32))
+        return QuantizedTable(values=q, scales=scales)
+    qs, ss = [], []
+    for start in range(0, n, row_chunk):
+        stop = min(start + row_chunk, n)
+        q, s = _quantize_rows(
+            jax.lax.slice_in_dim(table, start, stop).astype(jnp.float32))
+        qs.append(q)
+        ss.append(s)
+    return QuantizedTable(values=jnp.concatenate(qs), scales=jnp.concatenate(ss))
 
 
 def dequantize_table(qt: QuantizedTable) -> jax.Array:
