@@ -90,6 +90,13 @@ class ModelConfig:
     # table storage dtype; None -> param_dtype. "bfloat16" halves gather HBM
     # traffic at production table sizes (optimizer math stays f32)
     table_dtype: str | None = None
+    # "auto" | "on" | "off": route the 2-layer ReLU tower BACKWARD through
+    # the fused Pallas kernel (`ops/tower_bwd.py`: activation recompute in
+    # VMEM + weight-grad accumulation in one grid — the towers_bwd
+    # scheduling-slack attack, DESIGN §8a-r5). auto = on when
+    # compute_dtype is bfloat16 on a real TPU (the kernel's bf16-operand
+    # numerics class); shapes that don't fit fall back to XLA autodiff.
+    fused_tower_backward: str = "auto"
 
     @property
     def resolved_table_dtype(self) -> str:
@@ -315,6 +322,7 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
         param_dtype=d.get("param_dtype", "float32"),
         compute_dtype=d.get("compute_dtype", "float32"),
         table_dtype=d.get("table_dtype"),
+        fused_tower_backward=d.get("fused_tower_backward", "auto"),
     )
     cfg.validate()
     return cfg

@@ -152,8 +152,18 @@ def _tower(params_key: str, tower: TowerConfig, params: dict, pooled, dense, cfg
         xs.append(dense.astype(xs[0].dtype))
     x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    fused_bwd = cfg.fused_tower_backward == "on"
+    if cfg.fused_tower_backward == "auto":
+        from two_tower_recommender_model_tpu.ops.block_sorted import (
+            _auto_interpret,
+        )
+
+        # bf16-operand kernel == the bf16-compute backward's numerics class;
+        # real TPU only (interpret-mode Pallas would slow CPU runs)
+        fused_bwd = cfg.compute_dtype == "bfloat16" and not _auto_interpret()
     return apply_mlp(
-        params[params_key], x, tower.activation, tower.final_activation, compute_dtype
+        params[params_key], x, tower.activation, tower.final_activation,
+        compute_dtype, fused_backward=fused_bwd,
     )
 
 
