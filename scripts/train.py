@@ -118,6 +118,22 @@ def parse_args():
                     default="float32",
                     help="embedding-table storage dtype (Adagrad math stays float32); "
                          "bfloat16 halves, int8 quarters table HBM")
+    ap.add_argument("--sharded-exchange", choices=["dense", "alltoall"],
+                    default="dense",
+                    help="collective scheme for row-sharded f32 tables on a "
+                         "multi-device mesh: 'alltoall' routes rows/grads "
+                         "directly between data shards and id owners through "
+                         "deduped static-capacity buckets — O(B_local x D) "
+                         "per-device comm, the scheme that weak-scales "
+                         "(DESIGN §9); 'dense' is the psum_scatter exchange")
+    ap.add_argument("--exchange-capacity-factor", type=float, default=1.25,
+                    help="alltoall bucket capacity multiple of B_local*L/ndev "
+                         "(unique ids per (sender, owner) bucket; overflow is "
+                         "counted in the step output and logged)")
+    ap.add_argument("--exchange-wire-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="alltoall row/grad payload dtype; bfloat16 halves "
+                         "the dominant collective bytes (one rounding)")
     ap.add_argument("--wire-format", choices=["auto", "packed", "compact"], default="auto",
                     help="host->device batch encoding on the packed fast path: 'compact' "
                          "bit-packs pre-hashed ids (4.375 B/example flagship vs 8 — "
@@ -224,6 +240,9 @@ def main():
         limit_test_batches=args.limit_test_batches,
         sorted_feature=args.sorted_feature,
         block_sorted_kernel=args.block_sorted_kernel,
+        sharded_exchange=args.sharded_exchange,
+        exchange_capacity_factor=args.exchange_capacity_factor,
+        exchange_wire_dtype=args.exchange_wire_dtype,
     )
     if args.sorted_feature and (args.no_packed or jax.process_count() > 1):
         # the hinted updates live in the packed steps (the per-batch loop's
