@@ -163,11 +163,30 @@ def check_train_step_softmax():
         state, jax.ShapeDtypeStruct((bs, slots), jnp.int32)).compile()
 
 
+def check_tower_bwd():
+    """The fused 2-layer tower backward (custom VJP, ops/tower_bwd.py) as
+    the production bf16 train step engages it (fused_tower_backward auto ->
+    ON under bf16 compute on TPU) — caught the r5 bf16-comparison lowering
+    bug the interpret tests could not."""
+    from two_tower_recommender_model_tpu.models.mlp import apply_mlp, init_mlp
+
+    b = 262_144
+    params = init_mlp(jax.random.key(0), 128, (128, 64))
+    x = jnp.zeros((b, 128), jnp.bfloat16)
+
+    def loss(p, x):
+        out = apply_mlp(p, x, "relu", True, jnp.bfloat16, fused_backward=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    jax.jit(jax.value_and_grad(loss, argnums=(0, 1))).lower(params, x).compile()
+
+
 CHECKS = {
     "softmax": check_softmax,
     "block_sorted": check_block_sorted,
     "quantized": check_quantized,
     "train_step_softmax": check_train_step_softmax,
+    "tower_bwd": check_tower_bwd,
 }
 
 

@@ -81,11 +81,16 @@ def _bwd_kernel(x_ref, dq_ref, w1_ref, b1_ref, w2_ref,
     # divergence the oracle test caught). The b2/out mask is the caller's
     # (dq arrives pre-masked by the SAVED output).
     pre1 = _mm(x, w1).astype(jnp.bfloat16) + b1.astype(jnp.bfloat16)
-    h1 = jnp.maximum(pre1, jnp.bfloat16(0))  # [T, 128] bf16 == fwd's h1
+    # compare/select in f32 (Mosaic rejects bf16 comparisons on v5e:
+    # "Target does not support this comparison"); the f32 cast of a
+    # bf16-valued number is exact, so the mask decision is still the
+    # forward's bf16 one bit-for-bit
+    pre1f = pre1.astype(jnp.float32)
+    h1 = jnp.maximum(pre1f, 0.0)             # == fwd's relu(bf16 pre1), exact
 
     d2 = dq.astype(jnp.float32)              # [T, 128] already out-masked
     dh1 = _mm(d2, w2, tb=True)               # [T, 128]
-    d1 = jnp.where(pre1 > 0, dh1, 0.0)       # relu' of layer 1 (bf16 decision)
+    d1 = jnp.where(pre1f > 0.0, dh1, 0.0)    # relu' of layer 1 (bf16 decision)
     dx_ref[:] = _mm(d1, w1, tb=True).astype(out_dtype)
 
     dw1_acc[:] += _mm(x, d1, ta=True)        # [128, 128]
