@@ -207,3 +207,31 @@ def test_gather_int8_rows_scales_fused_identity():
     got_v5, got_s5 = gather_int8_rows_scales(vals5, scl5, ids1)
     np.testing.assert_array_equal(np.asarray(got_v5), np.asarray(jnp.take(vals5, ids1, axis=0)))
     np.testing.assert_array_equal(np.asarray(got_s5), np.asarray(jnp.take(scl5, ids1, axis=0)))
+
+
+def test_big_int8_table_inits_without_f32_intermediate(monkeypatch):
+    """Beyond-f32-capacity int8 tables chunk-init directly (no full f32
+    table): lower the threshold so the path runs at test scale, and check
+    the state is a valid QuantizedTable with in-bounds values and per-row
+    absmax scales matching a dequantize-requantize round trip."""
+    import two_tower_recommender_model_tpu.models.two_tower as tt
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.train.step import create_train_state
+
+    monkeypatch.setattr(tt, "BIG_INT8_INIT_ROWS", 500)
+    mcfg = cfg_lib.two_tower_model_config(num_users=1200, num_items=60,
+                                          embedding_dim=16, layer_sizes=(16, 8))
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    qt = state.tables["t_user_id"]
+    assert isinstance(qt, QuantizedTable) and qt.values.shape == (1200, 16)
+    vals = np.asarray(qt.values)
+    assert vals.min() >= -127 and vals.max() <= 127 and np.abs(vals).max() > 0
+    # scales are the rows' absmax in the dequantized domain: requantizing
+    # the dequantized table is a fixed point (same bytes)
+    deq = dequantize_table(qt)
+    rq = quantize_table(deq)
+    np.testing.assert_array_equal(np.asarray(rq.values), vals)
+    # the small item table still takes the full-init + quantize path
+    assert isinstance(state.tables["t_product_id"], QuantizedTable)
+    assert state.adagrad_acc["t_user_id"].shape == (1200,)

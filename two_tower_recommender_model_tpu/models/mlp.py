@@ -113,9 +113,8 @@ def _mlp2_relu_bwd(res, dq):
     )
 
     w1, b1, w2, x, out = res
-    dqm = jnp.where(out > 0, dq.astype(jnp.float32), 0.0)
     dx, dw1, db1, dw2, db2 = tower_backward_fused(
-        x, dqm, w1, b1, w2, out_dtype=x.dtype)
+        x, dq, out, w1, b1, w2, out_dtype=x.dtype)
     return (dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype), dx)
 

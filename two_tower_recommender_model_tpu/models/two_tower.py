@@ -30,6 +30,12 @@ from two_tower_recommender_model_tpu.models.mlp import apply_mlp, init_mlp
 from two_tower_recommender_model_tpu.ops.embedding_ops import pooled_lookup
 
 
+# int8 tables with at least this many rows skip the full f32 init (see
+# init_params) — 4M rows x 128 f32 is 2 GB, comfortably under HBM, while
+# the capacity-class tables int8 exists for (40M+) are not
+BIG_INT8_INIT_ROWS = 4_000_000
+
+
 def init_table(rng: jax.Array, num_embeddings: int, dim: int, dtype=jnp.float32) -> jax.Array:
     """EmbeddingBag-style init: U(-sqrt(1/N), sqrt(1/N)) (fbgemm default used
     by the reference's `EmbeddingBagCollection`, `03_model_training.py:770-784`)."""
@@ -54,6 +60,12 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> dict:
     tables = {
         t.name: init_table(k, t.num_embeddings, t.embedding_dim, table_init_dtype(t))
         for t, k in zip(cfg.tables, keys[:-2])
+        # int8 tables past the f32-capacity class are SKIPPED here (a full
+        # f32 init of a 40M-row table is 20 GB — over HBM by itself) and
+        # chunk-initialized by create_train_state (ops/quantized.py:
+        # init_quantized_table)
+        if not (cfg.table_dtype_of(t.name) == "int8"
+                and t.num_embeddings >= BIG_INT8_INIT_ROWS)
     }
     return {
         "tables": tables,

@@ -69,6 +69,29 @@ def quantize_table(table: jax.Array, row_chunk: int = 1 << 21) -> QuantizedTable
     return QuantizedTable(values=jnp.concatenate(qs), scales=jnp.concatenate(ss))
 
 
+def init_quantized_table(rng: jax.Array, num_embeddings: int, dim: int,
+                         row_chunk: int = 1 << 21) -> QuantizedTable:
+    """Direct int8 init for beyond-f32-capacity tables: per chunk, draw the
+    EmbeddingBag-style U(-sqrt(1/N), sqrt(1/N)) rows in f32 and quantize —
+    only one f32 chunk is ever live, so a 40M-row int8 table (5.1 GB)
+    initializes without the 20 GB full f32 intermediate
+    (`models/two_tower.py: init_params` skips these; `create_train_state`
+    calls here). Chunk keys fold the chunk index, so values differ from a
+    hypothetical full-table draw — irrelevant at this scale (both are the
+    same iid distribution)."""
+    bound = (1.0 / num_embeddings) ** 0.5
+    qs, ss = [], []
+    for i, start in enumerate(range(0, num_embeddings, row_chunk)):
+        rows = min(row_chunk, num_embeddings - start)
+        chunk = jax.random.uniform(
+            jax.random.fold_in(rng, i), (rows, dim), jnp.float32, -bound, bound)
+        q, s = _quantize_rows(chunk)
+        qs.append(q)
+        ss.append(s)
+    return QuantizedTable(values=jnp.concatenate(qs) if len(qs) > 1 else qs[0],
+                          scales=jnp.concatenate(ss) if len(ss) > 1 else ss[0])
+
+
 def dequantize_table(qt: QuantizedTable) -> jax.Array:
     return qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
 

@@ -23,7 +23,7 @@ class as the XLA bf16-compute backward it replaces. The second layer's
 gradients).
 
 Shape contract (the flagship class): D_in == H1 == 128 lanes exactly,
-H2 <= 128, batch a multiple of the 512-row tile. `fits()` gates routing;
+H2 <= 128, batch a multiple of the 512-row minimum tile. `fits()` gates routing;
 anything else falls back to XLA autodiff.
 """
 
@@ -36,13 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512
+TILE = 2048  # preferred; falls to 512 when the batch requires
+MIN_TILE = 512
 _LANE = 128
 
 
 def fits(d_in: int, h1: int, h2: int, batch: int) -> bool:
     return (d_in == _LANE and h1 == _LANE and 0 < h2 <= _LANE
-            and batch % TILE == 0)
+            and batch % MIN_TILE == 0)
 
 
 def _mm(a, b, ta=False, tb=False):
@@ -55,7 +56,7 @@ def _mm(a, b, ta=False, tb=False):
     )
 
 
-def _bwd_kernel(x_ref, dq_ref, w1_ref, b1_ref, w2_ref,
+def _bwd_kernel(x_ref, dq_ref, out_ref, w1_ref, b1_ref, w2_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 dw1_acc, db1_acc, dw2_acc, db2_acc, *, out_dtype):
     t = pl.program_id(0)
@@ -72,14 +73,17 @@ def _bwd_kernel(x_ref, dq_ref, w1_ref, b1_ref, w2_ref,
     w1 = w1_ref[:]          # [128, 128]
     b1 = b1_ref[:]          # [1, 128]
     w2 = w2_ref[:]          # [128, 128] (H2 zero-padded)
-    dq = dq_ref[:]          # [T, 128]   (H2 zero-padded cotangent)
+    # the final-relu mask applies IN KERNEL from the saved output tile
+    # (both stream as their native narrow dtype — no f32 [B, 128] dq
+    # round-trip on HBM)
+    dq = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                   dq_ref[:].astype(jnp.float32), 0.0)
 
     # recompute forward in VMEM, mirroring apply_mlp's dtype decisions
     # EXACTLY: pre1 = bf16(f32-accum matmul) + bf16 bias (bf16 add), so the
     # layer-1 relu mask and the saved-h1 operand match the XLA backward
     # bit-for-bit (a f32 mask flips rows near zero — 0.1%-class grad
-    # divergence the oracle test caught). The b2/out mask is the caller's
-    # (dq arrives pre-masked by the SAVED output).
+    # divergence the oracle test caught).
     pre1 = _mm(x, w1).astype(jnp.bfloat16) + b1.astype(jnp.bfloat16)
     # compare/select in f32 (Mosaic rejects bf16 comparisons on v5e:
     # "Target does not support this comparison"); the f32 cast of a
@@ -88,7 +92,7 @@ def _bwd_kernel(x_ref, dq_ref, w1_ref, b1_ref, w2_ref,
     pre1f = pre1.astype(jnp.float32)
     h1 = jnp.maximum(pre1f, 0.0)             # == fwd's relu(bf16 pre1), exact
 
-    d2 = dq.astype(jnp.float32)              # [T, 128] already out-masked
+    d2 = dq                                  # [T, 128] out-masked above
     dh1 = _mm(d2, w2, tb=True)               # [T, 128]
     d1 = jnp.where(pre1f > 0.0, dh1, 0.0)    # relu' of layer 1 (bf16 decision)
     dx_ref[:] = _mm(d1, w1, tb=True).astype(out_dtype)
@@ -109,7 +113,8 @@ def _bwd_kernel(x_ref, dq_ref, w1_ref, b1_ref, w2_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def tower_backward_fused(
     x: jax.Array,      # [B, 128] pooled tower input
-    dq_masked: jax.Array,  # [B, H2] cotangent ALREADY masked by (out > 0)
+    dq: jax.Array,     # [B, H2] raw cotangent (native dtype; masked in-kernel)
+    out: jax.Array,    # [B, H2] the SAVED forward output (final-relu mask)
     w1: jax.Array,     # [128, 128]
     b1: jax.Array,     # [128]
     w2: jax.Array,     # [128, H2]
@@ -128,21 +133,24 @@ def tower_backward_fused(
     h2 = w2.shape[1]
     pad2 = _LANE - h2
     w2p = jnp.pad(w2.astype(jnp.float32), ((0, 0), (0, pad2))) if pad2 else w2
-    dqp = (jnp.pad(dq_masked.astype(jnp.float32), ((0, 0), (0, pad2)))
-           if pad2 else dq_masked.astype(jnp.float32))
-    grid = b // TILE
+    # padded columns: out pads to 0 -> mask false -> their dq is ignored
+    dqp = jnp.pad(dq, ((0, 0), (0, pad2))) if pad2 else dq
+    outp = jnp.pad(out, ((0, 0), (0, pad2))) if pad2 else out
+    tile = TILE if b % TILE == 0 else MIN_TILE
+    grid = b // tile
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, out_dtype=jnp.dtype(out_dtype)),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, _LANE), lambda t: (t, 0)),
-            pl.BlockSpec((TILE, _LANE), lambda t: (t, 0)),
+            pl.BlockSpec((tile, _LANE), lambda t: (t, 0)),
+            pl.BlockSpec((tile, _LANE), lambda t: (t, 0)),
+            pl.BlockSpec((tile, _LANE), lambda t: (t, 0)),
             pl.BlockSpec((_LANE, _LANE), lambda t: (0, 0)),
             pl.BlockSpec((1, _LANE), lambda t: (0, 0)),
             pl.BlockSpec((_LANE, _LANE), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, _LANE), lambda t: (t, 0)),
+            pl.BlockSpec((tile, _LANE), lambda t: (t, 0)),
             pl.BlockSpec((_LANE, _LANE), lambda t: (0, 0)),
             pl.BlockSpec((1, _LANE), lambda t: (0, 0)),
             pl.BlockSpec((_LANE, _LANE), lambda t: (0, 0)),
@@ -165,6 +173,7 @@ def tower_backward_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-    )(x, dqp, w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :], w2p)
+    )(x, dqp, outp, w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+      w2p)
     return (dx, dw1, db1[0], dw2[:, :h2] if pad2 else dw2,
             db2[0, :h2] if pad2 else db2[0])

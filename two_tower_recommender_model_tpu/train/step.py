@@ -21,6 +21,7 @@ autodiff graph, and stage C touches only the rows present in the batch.
 from __future__ import annotations
 
 import functools
+import zlib
 
 from typing import Callable
 
@@ -79,6 +80,20 @@ def create_train_state(
             k: quantize_table(v) if model_cfg.table_dtype_of(k) == "int8" else v
             for k, v in params["tables"].items()
         }
+    # beyond-f32-capacity int8 tables (init_params skips them — a full f32
+    # init of a 40M-row table is 20 GB, over HBM by itself): generate and
+    # quantize chunk-wise, never materializing more than one f32 chunk
+    for t in model_cfg.tables:
+        if t.name not in params["tables"]:
+            from two_tower_recommender_model_tpu.ops.quantized import (
+                init_quantized_table,
+            )
+
+            assert model_cfg.table_dtype_of(t.name) == "int8", t.name
+            params["tables"][t.name] = init_quantized_table(
+                jax.random.fold_in(rng, zlib.crc32(t.name.encode())),
+                t.num_embeddings, t.embedding_dim,
+            )
     dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
     dense_params = dense_param_tree(params)
     item_counts = None
