@@ -168,7 +168,7 @@ def crossover(sizes, variants, batch_size):
                 rec = time_variant(variant, batch_size, num_users=n)
             except Exception as e:  # a variant OOMing must not kill the sweep
                 rec = {"variant": variant, "batch_size": batch_size,
-                       "num_users": n, "error": f"{type(e).__name__}: {e}"[:300]}
+                       "num_users": n, "error": f"{type(e).__name__}: {e}"[:1500]}
             out.append(rec)
             print(json.dumps(rec), flush=True)
     return out

@@ -96,6 +96,11 @@ def dequantize_table(qt: QuantizedTable) -> jax.Array:
     return qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
 
 
+# tables at least this large skip the packed rows+scales gather (its packed
+# int32 view is a table-sized copy per call; see gather_int8_rows_scales)
+PACK_GATHER_MAX_ROWS = 1_000_000
+
+
 def gather_int8_rows(values: jax.Array, ids: jax.Array) -> jax.Array:
     """`jnp.take(values, ids, axis=0)` for an int8 [N, D] table, gathering
     through an int32 bitcast view when D % 4 == 0 (byte-identical)."""
@@ -129,6 +134,14 @@ def gather_int8_rows_scales(
     n, d = values.shape
     if d % 4:
         return jnp.take(values, ids, axis=0), jnp.take(scales, ids, axis=0)
+    if n >= PACK_GATHER_MAX_ROWS:
+        # the packed view is a TABLE-SIZED int32 copy (concat defeats the
+        # free bitcast) rebuilt every step inside a scan whose carry is the
+        # table — at 20M rows it double-buffers to ~5 GB and the step
+        # compiles over HBM (r5 crossover). Past this threshold the row
+        # bitcast-gather (no materialization) + a separate scale take wins
+        # on memory and on the copy's ~2x-table traffic per step.
+        return gather_int8_rows(values, ids), jnp.take(scales, ids, axis=0)
     packed = jnp.concatenate(
         [
             jax.lax.bitcast_convert_type(values.reshape(n, d // 4, 4), jnp.int32),
@@ -140,6 +153,26 @@ def gather_int8_rows_scales(
     vals = jax.lax.bitcast_convert_type(rows[:, : d // 4], jnp.int8)
     scl = jax.lax.bitcast_convert_type(rows[:, d // 4], jnp.float32)
     return vals.reshape(*ids.shape, d), scl.reshape(ids.shape)
+
+
+def scatter_int8_rows(
+    values: jax.Array,  # [N, D] int8
+    scatter_idx: jax.Array,  # [M] (out-of-range -> dropped)
+    new_rows: jax.Array,  # [M, D] int8
+) -> jax.Array:
+    """`values.at[idx].set(rows, mode="drop")` through an int32 bitcast view
+    when D % 4 == 0 — byte-identical. XLA:TPU emulates a NATIVE s8 row
+    scatter with u32 table-sized temporaries in BOTH layouts (2 x 9.54 GB
+    at 20M x 128 — the r5 capacity sweep's OOM); the s32 view scatters
+    natively and the bitcasts are free reinterpretation."""
+    n, d = values.shape
+    if d % 4:
+        return values.at[scatter_idx].set(new_rows, mode="drop")
+    packed = jax.lax.bitcast_convert_type(values.reshape(n, d // 4, 4), jnp.int32)
+    rows_p = jax.lax.bitcast_convert_type(
+        new_rows.reshape(-1, d // 4, 4), jnp.int32)
+    out = packed.at[scatter_idx].set(rows_p, mode="drop")
+    return jax.lax.bitcast_convert_type(out, jnp.int8).reshape(n, d)
 
 
 def quantized_pooled_lookup(
@@ -180,7 +213,7 @@ def quantized_rowwise_adagrad(
     scatter_idx = jnp.where(valid, rep, n)
     return (
         QuantizedTable(
-            values=qt.values.at[scatter_idx].set(new_q, mode="drop"),
+            values=scatter_int8_rows(qt.values, scatter_idx, new_q),
             scales=qt.scales.at[scatter_idx].set(new_scales, mode="drop"),
         ),
         acc.at[scatter_idx].set(new_acc_rows, mode="drop"),
