@@ -522,3 +522,47 @@ def test_alltoall_eval_matches_dense(setup):
                                rtol=1e-6)
     np.testing.assert_allclose(results["alltoall"][1], results["dense"][1],
                                rtol=1e-6)
+
+
+def test_alltoall_overflow_survives_macro_scan(setup):
+    """The macro scan must carry the exchange's dropped-id count (silent
+    drops are the one failure mode the static-capacity design may not
+    have): a clean run reports 0, and the packed multi-step output shape
+    stays loop-compatible."""
+    from two_tower_recommender_model_tpu.data.device_featurizer import (
+        PackedFeaturizer,
+    )
+    from two_tower_recommender_model_tpu.parallel import (
+        macro_batch_sharding,
+        make_sharded_multi_step,
+    )
+    from two_tower_recommender_model_tpu.train.step import stack_batches
+    from two_tower_recommender_model_tpu.train.pipeline import device_put_batch
+
+    mcfg, _, _ = setup
+    tcfg = cfg_lib.TrainConfig(sharded_exchange="alltoall",
+                               exchange_capacity_factor=2.0)
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    sh_state = shard_train_state(state, plan, mesh)
+    feat = PackedFeaturizer(mcfg, pack_label=True)
+    from two_tower_recommender_model_tpu.data import SyntheticClickstream
+
+    ds = SyntheticClickstream(100, 60, seed=4)
+    mb = device_put_batch(
+        stack_batches([feat(ds.sample(64, start=i)) for i in range(3)]),
+        macro_batch_sharding(mesh))
+    multi = make_sharded_multi_step(mcfg, tcfg, dense_opt, mesh, plan,
+                                    donate=False)
+    _, out = multi(sh_state, mb)
+    assert out["loss"].shape == (3,)
+    assert int(out["exchange_overflow"]) == 0
+
+    # the dense exchange's output keeps its original shape (no key)
+    tcfg_d = cfg_lib.TrainConfig()
+    multi_d = make_sharded_multi_step(mcfg, tcfg_d, dense_opt, mesh, plan,
+                                      donate=False)
+    _, out_d = multi_d(sh_state, mb)
+    assert "exchange_overflow" not in out_d

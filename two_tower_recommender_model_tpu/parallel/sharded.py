@@ -1137,6 +1137,23 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _scan_out(out: dict):
+    """Per-step outputs carried through the macro scan: loss always; the
+    alltoall exchange's dropped-id count when that route is active (the
+    overflow guard must survive macro batching — silent drops are the one
+    failure mode the static-capacity design is not allowed to have)."""
+    if "exchange_overflow" in out:
+        return (out["loss"], out["exchange_overflow"])
+    return out["loss"]
+
+
+def _macro_out(outs):
+    if isinstance(outs, tuple):
+        losses, ovf = outs
+        return {"loss": losses, "exchange_overflow": ovf.sum()}
+    return {"loss": outs}
+
+
 def make_sharded_multi_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -1161,10 +1178,10 @@ def make_sharded_multi_step(
             new_state, out = core(
                 carry, unpack_batch(pb, model_cfg, pack_label=pack_label)
             )
-            return new_state, out["loss"]
+            return new_state, _scan_out(out)
 
-        state, losses = jax.lax.scan(body, state, packed_mb)
-        return state, {"loss": losses}
+        state, outs = jax.lax.scan(body, state, packed_mb)
+        return state, _macro_out(outs)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
@@ -1213,10 +1230,10 @@ def make_sharded_compact_multi_step(
     def multi(state: TrainState, macro_cb):
         def body(carry, cb):
             new_state, out = core(carry, batch_from_compact(cb, model_cfg, scheme))
-            return new_state, out["loss"]
+            return new_state, _scan_out(out)
 
-        state, losses = jax.lax.scan(body, state, macro_cb)
-        return state, {"loss": losses}
+        state, outs = jax.lax.scan(body, state, macro_cb)
+        return state, _macro_out(outs)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
