@@ -767,3 +767,105 @@ def test_two_process_sampled_softmax_fused_matches_single_process(tmp_path):
     # sequential q-block scratch); measured max |err| 3e-6 at near-zero values
     np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
                                rtol=1e-4, atol=1e-5)
+
+
+WORKER_A2A = r'''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from two_tower_recommender_model_tpu.parallel.launch import (
+    initialize_multi_host, per_host_loader_slice, put_global_batch, host_info)
+initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert host_info()["global_devices"] == 4
+
+import numpy as np
+import jax.numpy as jnp
+from two_tower_recommender_model_tpu import config as cfg_lib
+from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+from two_tower_recommender_model_tpu.parallel import (
+    make_mesh, make_sharded_train_step, plan_sharding, shard_train_state)
+from two_tower_recommender_model_tpu.parallel.planner import ROW_SHARDED
+from two_tower_recommender_model_tpu.parallel.sharded import unshard_train_state
+from two_tower_recommender_model_tpu.train.step import create_train_state
+
+mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                      layer_sizes=(16, 8))
+# the ALL-TO-ALL exchange across REAL processes (DESIGN §9): cross-process
+# all_to_all collectives + overflow accounting
+tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3,
+                           sharded_exchange="alltoall",
+                           exchange_capacity_factor=4.0)
+mesh = make_mesh(4, 1)
+plan = plan_sharding(mcfg, 4, force={"t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+state = shard_train_state(state, plan, mesh)
+step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+
+ds = SyntheticClickstream(64, 40, seed=9)
+feat = Featurizer(mcfg)
+host_index, num_hosts = per_host_loader_slice()
+B = 32
+for i in range(3):
+    cols = ds.sample(B, start=i)
+    lo = host_index * (B // num_hosts)
+    local_cols = {k: v[lo : lo + B // num_hosts] for k, v in cols.items()}
+    batch = put_global_batch(jax.tree.map(np.asarray, feat(local_cols)), mesh)
+    state, out = step(state, batch)
+    assert int(jax.device_get(out["exchange_overflow"])) == 0
+
+loss = float(jax.device_get(out["loss"]))
+gathered = unshard_train_state(state, plan, mcfg)
+if pid == 0:
+    np.savez(os.path.join(out_dir, "result_a2a.npz"),
+             loss=loss,
+             t_user=gathered.tables["t_user_id"],
+             t_item=gathered.tables["t_product_id"])
+print(f"worker {pid} done loss={loss}", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_alltoall_matches_single_process(tmp_path):
+    """The round-5 all-to-all exchange across 2 REAL OS processes: the
+    bucket route's all_to_all collectives cross process boundaries, the
+    overflow count stays zero, and training reproduces the single-process
+    step."""
+    port = _free_port()
+    worker_py = tmp_path / "worker_a2a.py"
+    worker_py.write_text(WORKER_A2A)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+    result = np.load(tmp_path / "result_a2a.npz")
+
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=64, num_items=40, embedding_dim=8,
+                                          layer_sizes=(16, 8))
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05, learning_rate=1e-3)
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+    ds = SyntheticClickstream(64, 40, seed=9)
+    feat = Featurizer(mcfg)
+    for i in range(3):
+        state, out = step(state, jax.tree.map(jnp.asarray, feat(ds.sample(32, start=i))))
+
+    np.testing.assert_allclose(result["loss"], float(out["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(result["t_user"], np.asarray(state.tables["t_user_id"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(result["t_item"], np.asarray(state.tables["t_product_id"]),
+                               rtol=1e-4, atol=1e-6)
