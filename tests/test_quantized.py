@@ -235,3 +235,79 @@ def test_big_int8_table_inits_without_f32_intermediate(monkeypatch):
     # the small item table still takes the full-init + quantize path
     assert isinstance(state.tables["t_product_id"], QuantizedTable)
     assert state.adagrad_acc["t_user_id"].shape == (1200,)
+
+
+def test_packed_storage_matches_unpacked_bitwise(monkeypatch):
+    """Packed int32-word storage is the SAME bytes: training with packed
+    tables must be bitwise identical to the unpacked s8 format (gathers
+    return identical rows; the requant math is shared), across several
+    steps and through the forward/eval path."""
+    import two_tower_recommender_model_tpu.ops.quantized as q
+    import two_tower_recommender_model_tpu.models.two_tower as tt
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.data import Featurizer, SyntheticClickstream
+    from two_tower_recommender_model_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=700, num_items=300,
+                                          embedding_dim=16, layer_sizes=(16, 8))
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    tcfg = cfg_lib.TrainConfig(sparse_learning_rate=0.05)
+    ds = SyntheticClickstream(699, 299, seed=7)
+    feat = Featurizer(mcfg)
+    batches = [jax.tree.map(jnp.asarray, feat(ds.sample(64, start=i)))
+               for i in range(4)]
+
+    states = {}
+    for mode in ("unpacked", "packed"):
+        if mode == "packed":
+            # chunk-init + packed storage at test scale
+            monkeypatch.setattr(tt, "BIG_INT8_INIT_ROWS", 500)
+            monkeypatch.setattr(q, "PACKED_STORAGE_MIN_ROWS", 500)
+        else:
+            monkeypatch.setattr(tt, "BIG_INT8_INIT_ROWS", 500)
+            monkeypatch.setattr(q, "PACKED_STORAGE_MIN_ROWS", 10**9)
+        state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+        step = make_train_step(mcfg, tcfg, dense_opt, donate=False)
+        for b in batches:
+            state, out = step(state, b)
+        states[mode] = (state, float(out["loss"]))
+
+    up, pk = states["unpacked"], states["packed"]
+    assert up[0].tables["t_user_id"].packed is False
+    assert pk[0].tables["t_user_id"].packed is True
+    assert pk[0].tables["t_user_id"].values.dtype == jnp.int32
+    assert pk[0].tables["t_user_id"].shape == (700, 16)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_table(pk[0].tables["t_user_id"])),
+        np.asarray(dequantize_table(up[0].tables["t_user_id"])))
+    # identical raw bytes, not just dequantized values
+    from two_tower_recommender_model_tpu.ops.quantized import unpack_int8_values
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int8_values(pk[0].tables["t_user_id"].values, 16)),
+        np.asarray(up[0].tables["t_user_id"].values))
+    assert pk[1] == up[1]  # loss bitwise equal
+
+
+def test_packed_storage_rejected_by_sharded_state(monkeypatch):
+    import pytest
+
+    import two_tower_recommender_model_tpu.ops.quantized as q
+    import two_tower_recommender_model_tpu.models.two_tower as tt
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.parallel import (
+        make_mesh, plan_sharding, shard_train_state)
+    from two_tower_recommender_model_tpu.train.step import create_train_state
+
+    monkeypatch.setattr(tt, "BIG_INT8_INIT_ROWS", 500)
+    monkeypatch.setattr(q, "PACKED_STORAGE_MIN_ROWS", 500)
+    mcfg = cfg_lib.two_tower_model_config(num_users=700, num_items=300,
+                                          embedding_dim=16, layer_sizes=(16, 8))
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    plan = plan_sharding(mcfg, 8)
+    with pytest.raises(NotImplementedError, match="PACKED int8 storage"):
+        shard_train_state(state, plan, make_mesh(8, 1))

@@ -99,6 +99,8 @@ def pooled_embeddings(
     `device_sorted_features` routes those (single-slot, UNSORTED) features'
     gathers through the device-sort front-end (`device_sorted_lookup`: sort +
     block gather + inverse row permute — `TrainConfig.device_sorted_gather`)."""
+    from two_tower_recommender_model_tpu.ops.quantized import QuantizedTable
+
     compute_dtype = (
         jnp.dtype(cfg.compute_dtype)
         if cfg.compute_dtype != cfg.resolved_table_dtype
@@ -117,6 +119,13 @@ def pooled_embeddings(
             )
 
             table = tables[fc.table]
+            if isinstance(table, QuantizedTable) and table.packed:
+                # packed int8 storage: no s8 [N, D] operand for the block
+                # kernel — the native-s32 gather route instead
+                out[fc.name] = pooled_lookup(
+                    table, feat.ids, feat.mask, fc.pooling, compute_dtype
+                )
+                continue
             if isinstance(table, QuantizedTable):
                 rows = block_sorted_lookup_quantized(
                     table.values, table.scales, feat.ids[:, 0]
@@ -134,7 +143,10 @@ def pooled_embeddings(
                 pooled.astype(compute_dtype) if compute_dtype is not None else pooled
             )
             continue
-        if fc.name in device_sorted_features:
+        if fc.name in device_sorted_features and not (
+            isinstance(tables[fc.table], QuantizedTable)
+            and tables[fc.table].packed
+        ):
             from two_tower_recommender_model_tpu.ops.block_sorted import (
                 device_sorted_lookup,
             )

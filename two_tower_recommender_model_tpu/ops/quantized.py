@@ -28,16 +28,71 @@ import jax.numpy as jnp
 
 @flax.struct.dataclass
 class QuantizedTable:
-    values: jax.Array  # [N, D] int8
+    """int8 rows + per-row scales. `packed=True` stores the SAME bytes as
+    int32 words `[N, D/4]` (4 int8 per word): XLA:TPU emulates native s8
+    row gathers/scatters through u32 TABLE-SIZED temporaries in two layouts
+    (2 x 9.5 GB at 20M x 128 — compile-time OOM, DESIGN §8b-r5), while s32
+    rows gather/scatter natively; un/packing happens only at [M]-batch
+    scale. `shape`/`dtype` report the LOGICAL [N, D] int8 table either
+    way. Packed engages automatically past PACKED_STORAGE_MIN_ROWS
+    (single-device path; the block kernels and the sharded state builder
+    require the unpacked format and gate on `.packed`)."""
+
+    values: jax.Array  # [N, D] int8, or [N, D//4] int32 when packed
     scales: jax.Array  # [N] f32 (absmax of the row)
+    packed: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
-        return self.values.shape
+        n, w = self.values.shape
+        return (n, w * 4) if self.packed else (n, w)
 
     @property
     def dtype(self):
-        return self.values.dtype
+        return jnp.dtype(jnp.int8)  # logical storage dtype
+
+
+# int8 tables at least this large store packed (int32 words). 8M rows
+# measured fine unpacked (83-129 ms steps); 20M could not even compile
+# unpacked. Kept above every size the sharded/block paths support today.
+PACKED_STORAGE_MIN_ROWS = 16_000_000
+
+
+def pack_int8_values(values: jax.Array) -> jax.Array:
+    """[N, D] int8 -> [N, D//4] int32 words (same bytes)."""
+    n, d = values.shape
+    assert d % 4 == 0, d
+    return jax.lax.bitcast_convert_type(values.reshape(n, d // 4, 4), jnp.int32)
+
+
+def unpack_int8_values(words: jax.Array, d: int) -> jax.Array:
+    """[..., D//4] int32 words -> [..., D] int8 (same bytes)."""
+    return jax.lax.bitcast_convert_type(words, jnp.int8).reshape(
+        *words.shape[:-1], d)
+
+
+def qt_gather_rows_scales(qt: QuantizedTable, ids: jax.Array):
+    """(values[ids] int8, scales[ids]) for either storage format; the
+    packed arm's word gather is a native s32 take (no u32 emulation),
+    unpacked at [M] scale only."""
+    if qt.packed:
+        d = qt.shape[1]
+        words = jnp.take(qt.values, ids.reshape(-1), axis=0)
+        return (unpack_int8_values(words, d).reshape(*ids.shape, d),
+                jnp.take(qt.scales, ids, axis=0))
+    return gather_int8_rows_scales(qt.values, qt.scales, ids)
+
+
+def qt_scatter_rows(qt: QuantizedTable, scatter_idx: jax.Array,
+                    new_rows: jax.Array) -> jax.Array:
+    """New `values` array with rows replaced (out-of-range idx dropped),
+    for either storage format."""
+    if qt.packed:
+        d = qt.shape[1]
+        rows_w = jax.lax.bitcast_convert_type(
+            new_rows.reshape(-1, d // 4, 4), jnp.int32)
+        return qt.values.at[scatter_idx].set(rows_w, mode="drop")
+    return scatter_int8_rows(qt.values, scatter_idx, new_rows)
 
 
 def _quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -48,7 +103,8 @@ def _quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scales
 
 
-def quantize_table(table: jax.Array, row_chunk: int = 1 << 21) -> QuantizedTable:
+def quantize_table(table: jax.Array, row_chunk: int = 1 << 21,
+                   packed: bool = False) -> QuantizedTable:
     """Row-local quantization, CHUNKED past `row_chunk` rows: one-shot
     `_quantize_rows` materializes f32 temporaries the size of the table
     (abs / the division), which at 20M x 128 means another ~10 GB on top of
@@ -56,21 +112,24 @@ def quantize_table(table: jax.Array, row_chunk: int = 1 << 21) -> QuantizedTable
     bounds the transient to `row_chunk` rows with identical results (the
     quantization is per-row)."""
     n = table.shape[0]
+    maybe_pack = pack_int8_values if packed else (lambda q: q)
     if n <= row_chunk:
         q, scales = _quantize_rows(table.astype(jnp.float32))
-        return QuantizedTable(values=q, scales=scales)
+        return QuantizedTable(values=maybe_pack(q), scales=scales, packed=packed)
     qs, ss = [], []
     for start in range(0, n, row_chunk):
         stop = min(start + row_chunk, n)
         q, s = _quantize_rows(
             jax.lax.slice_in_dim(table, start, stop).astype(jnp.float32))
-        qs.append(q)
+        qs.append(maybe_pack(q))
         ss.append(s)
-    return QuantizedTable(values=jnp.concatenate(qs), scales=jnp.concatenate(ss))
+    return QuantizedTable(values=jnp.concatenate(qs), scales=jnp.concatenate(ss),
+                          packed=packed)
 
 
 def init_quantized_table(rng: jax.Array, num_embeddings: int, dim: int,
-                         row_chunk: int = 1 << 21) -> QuantizedTable:
+                         row_chunk: int = 1 << 21,
+                         packed: bool = False) -> QuantizedTable:
     """Direct int8 init for beyond-f32-capacity tables: per chunk, draw the
     EmbeddingBag-style U(-sqrt(1/N), sqrt(1/N)) rows in f32 and quantize —
     only one f32 chunk is ever live, so a 40M-row int8 table (5.1 GB)
@@ -80,20 +139,24 @@ def init_quantized_table(rng: jax.Array, num_embeddings: int, dim: int,
     hypothetical full-table draw — irrelevant at this scale (both are the
     same iid distribution)."""
     bound = (1.0 / num_embeddings) ** 0.5
+    maybe_pack = pack_int8_values if packed else (lambda q: q)
     qs, ss = [], []
     for i, start in enumerate(range(0, num_embeddings, row_chunk)):
         rows = min(row_chunk, num_embeddings - start)
         chunk = jax.random.uniform(
             jax.random.fold_in(rng, i), (rows, dim), jnp.float32, -bound, bound)
         q, s = _quantize_rows(chunk)
-        qs.append(q)
+        qs.append(maybe_pack(q))
         ss.append(s)
     return QuantizedTable(values=jnp.concatenate(qs) if len(qs) > 1 else qs[0],
-                          scales=jnp.concatenate(ss) if len(ss) > 1 else ss[0])
+                          scales=jnp.concatenate(ss) if len(ss) > 1 else ss[0],
+                          packed=packed)
 
 
 def dequantize_table(qt: QuantizedTable) -> jax.Array:
-    return qt.values.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
+    vals = (unpack_int8_values(qt.values, qt.shape[1]) if qt.packed
+            else qt.values)
+    return vals.astype(jnp.float32) * (qt.scales[:, None] / 127.0)
 
 
 # tables at least this large skip the packed rows+scales gather (its packed
@@ -180,7 +243,7 @@ def quantized_pooled_lookup(
     ids: jax.Array,  # [B, L]
     w: jax.Array,  # [B, L] weights (0 = dead slot)
 ) -> jax.Array:  # [B, D] f32
-    rows_q, scales = gather_int8_rows_scales(qt.values, qt.scales, ids)
+    rows_q, scales = qt_gather_rows_scales(qt, ids)
     rows = rows_q.astype(jnp.float32) * (scales / 127.0)[..., None]  # [B, L, D]
     return (rows * w[..., None]).sum(axis=1)
 
@@ -197,10 +260,10 @@ def quantized_rowwise_adagrad(
     re-quantize. Same sorted-segment aggregation as the f32 path."""
     from two_tower_recommender_model_tpu.train.optimizer import aggregate_grads_by_row
 
-    n, d = qt.values.shape
+    n, d = qt.shape
     g_seg, rep, valid, safe = aggregate_grads_by_row(flat_ids, flat_grads, n)
 
-    rows_q, row_scales = gather_int8_rows_scales(qt.values, qt.scales, safe)
+    rows_q, row_scales = qt_gather_rows_scales(qt, safe)
     rows_q = rows_q.astype(jnp.float32)
     rows = rows_q * (row_scales[:, None] / 127.0)
     acc_rows = acc[safe]
@@ -213,8 +276,9 @@ def quantized_rowwise_adagrad(
     scatter_idx = jnp.where(valid, rep, n)
     return (
         QuantizedTable(
-            values=scatter_int8_rows(qt.values, scatter_idx, new_q),
+            values=qt_scatter_rows(qt, scatter_idx, new_q),
             scales=qt.scales.at[scatter_idx].set(new_scales, mode="drop"),
+            packed=qt.packed,
         ),
         acc.at[scatter_idx].set(new_acc_rows, mode="drop"),
     )
@@ -238,6 +302,10 @@ def quantized_dense_rowwise_adagrad(
     the batch touches a sizable table fraction (same crossover as f32).
     `ids_sorted`/`buffer_dtype` mirror the f32 sorted-scatter fast path
     (DESIGN §6c)."""
+    assert not qt.packed, (
+        "the transient-dense quantized update materializes [N, D] — only "
+        "small tables pick it, never packed storage (pick_quantized_update)"
+    )
     n, d = qt.values.shape
     buf_dtype = jnp.float32 if buffer_dtype is None else buffer_dtype
     g = (

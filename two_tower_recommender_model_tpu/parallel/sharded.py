@@ -73,6 +73,16 @@ def shard_train_state(state: TrainState, plan: ShardingPlan, mesh) -> TrainState
 
     import numpy as np
 
+    for name, t in state.tables.items():
+        if isinstance(t, QuantizedTable) and t.packed:
+            raise NotImplementedError(
+                f"table {name!r} uses PACKED int8 storage (rows >= "
+                "PACKED_STORAGE_MIN_ROWS) — the sharded runtime consumes the "
+                "unpacked s8 format; per-shard rows are below the packed "
+                "threshold anyway, so build the state after raising "
+                "ops.quantized.PACKED_STORAGE_MIN_ROWS above the table size "
+                "(round-5 limitation, DESIGN §8b-r5)"
+            )
     rep = NamedSharding(mesh, P())
     tables, accs = {}, {}
     # table-wise buckets: one [ndev*R, D] row-sharded array per embedding dim

@@ -135,6 +135,11 @@ def device_sorted_fused_adagrad(
         # HBM traffic (134 -> 67 MB at flagship M)
         flat_grads = flat_grads.astype(jnp.bfloat16)
     if isinstance(table, QuantizedTable):
+        assert not table.packed, (
+            "packed int8 storage has no s8 [N, D] operand for the block "
+            "kernels; route packed tables through quantized_rowwise_adagrad "
+            "(pick_table_update_fn gates this)"
+        )
         new_v, new_s, new_a = block_sorted_rowwise_adagrad_fused_quantized(
             table.values, table.scales, acc, sids, flat_grads[perm], lr, eps,
             matmul_dtype=matmul_dtype,

@@ -86,6 +86,7 @@ def create_train_state(
     for t in model_cfg.tables:
         if t.name not in params["tables"]:
             from two_tower_recommender_model_tpu.ops.quantized import (
+                PACKED_STORAGE_MIN_ROWS,
                 init_quantized_table,
             )
 
@@ -93,6 +94,7 @@ def create_train_state(
             params["tables"][t.name] = init_quantized_table(
                 jax.random.fold_in(rng, zlib.crc32(t.name.encode())),
                 t.num_embeddings, t.embedding_dim,
+                packed=t.num_embeddings >= PACKED_STORAGE_MIN_ROWS,
             )
     dense_opt = opt_lib.dense_optimizer(train_cfg.learning_rate)
     dense_params = dense_param_tree(params)
@@ -198,7 +200,18 @@ def pick_table_update_fn(
         quantized_dense_rowwise_adagrad,
     )
 
+    from two_tower_recommender_model_tpu.ops.quantized import (
+        PACKED_STORAGE_MIN_ROWS,
+    )
+
     bs_kernel = train_cfg.block_sorted_kernel
+    # beyond-capacity int8 tables store PACKED int32 words (quantized.py):
+    # the block kernels need raw s8 [N, D] operands, so packed tables keep
+    # the native-s32 gather/scatter route unconditionally
+    packed = (
+        quantized
+        and model_cfg.table(tname).num_embeddings >= PACKED_STORAGE_MIN_ROWS
+    )
     sorted_buf = (
         jnp.bfloat16 if train_cfg.scatter_buffer_dtype == "bfloat16" else None
     )
@@ -216,7 +229,7 @@ def pick_table_update_fn(
         # explicit override wins over the block-kernel routing
         # (quantized tables already picked their quantized variant)
         pass
-    elif tname == sorted_table and bs_kernel != "off":
+    elif tname == sorted_table and bs_kernel != "off" and not packed:
         # fused single-kernel variant: aggregation + Adagrad epilogue
         # in one Pallas call (measured 3.64 -> 3.15 ms at bs=262k);
         # int8 storage gets the dequant/requant-in-epilogue variant
@@ -246,6 +259,7 @@ def pick_table_update_fn(
             )
     elif (
         bs_kernel != "off"
+        and not packed
         and model_cfg.table_dtype_of(tname) in ("float32", "int8")
         and _block_shapes_ok(model_cfg.table(tname).embedding_dim, n_flat_ids)
     ):
