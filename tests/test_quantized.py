@@ -311,3 +311,42 @@ def test_packed_storage_rejected_by_sharded_state(monkeypatch):
     plan = plan_sharding(mcfg, 8)
     with pytest.raises(NotImplementedError, match="PACKED int8 storage"):
         shard_train_state(state, plan, make_mesh(8, 1))
+
+
+def test_packed_checkpoint_and_export_roundtrip(tmp_path, monkeypatch):
+    """Packed tables must survive the orbax checkpoint round trip (the
+    `packed` flag is pytree aux data, values stay int32 words) and export
+    to the portable f32 saved-model through dequantize_table."""
+    import two_tower_recommender_model_tpu.ops.quantized as q
+    import two_tower_recommender_model_tpu.models.two_tower as tt
+    from two_tower_recommender_model_tpu import config as cfg_lib
+    from two_tower_recommender_model_tpu.train.step import create_train_state
+    from two_tower_recommender_model_tpu.utils.checkpoint import (
+        Checkpointer,
+        export_model,
+        load_model,
+    )
+
+    monkeypatch.setattr(tt, "BIG_INT8_INIT_ROWS", 500)
+    monkeypatch.setattr(q, "PACKED_STORAGE_MIN_ROWS", 500)
+    mcfg = cfg_lib.two_tower_model_config(num_users=700, num_items=300,
+                                          embedding_dim=16, layer_sizes=(16, 8))
+    mcfg = dataclasses.replace(mcfg, table_dtype="int8")
+    state, _ = create_train_state(jax.random.key(0), mcfg, cfg_lib.TrainConfig())
+    assert state.tables["t_user_id"].packed
+
+    ckpt = Checkpointer(str(tmp_path / "c"))
+    ckpt.save(0, state, wait=True)
+    fresh, _ = create_train_state(jax.random.key(1), mcfg, cfg_lib.TrainConfig())
+    restored, _, _ = ckpt.restore(fresh)
+    rt = restored.tables["t_user_id"]
+    assert rt.packed and rt.values.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(rt.values),
+                                  np.asarray(state.tables["t_user_id"].values))
+    ckpt.close()
+
+    export_model(str(tmp_path / "m"), mcfg, state)
+    cfg2, params2 = load_model(str(tmp_path / "m"))
+    np.testing.assert_allclose(
+        params2["tables"]["t_user_id"],
+        np.asarray(dequantize_table(state.tables["t_user_id"])), rtol=1e-6)
