@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from two_tower_recommender_model_tpu.models.mlp import apply_mlp, init_mlp
+from two_tower_recommender_model_tpu.models.mlp import apply_mlp
 from two_tower_recommender_model_tpu.ops.tower_bwd import fits
 
 B, D = 1024, 128
