@@ -128,8 +128,8 @@ def parse_args():
                          "(DESIGN §9); 'dense' is the psum_scatter exchange")
     ap.add_argument("--exchange-capacity-factor", type=float, default=1.25,
                     help="alltoall bucket capacity multiple of B_local*L/ndev "
-                         "(unique ids per (sender, owner) bucket; overflow is "
-                         "counted in the step output and logged)")
+                         "(unique ids per (sender, owner) bucket; the epoch "
+                         "loop RAISES if any distinct id overflows)")
     ap.add_argument("--exchange-wire-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="alltoall row/grad payload dtype; bfloat16 halves "
@@ -218,10 +218,22 @@ def main():
             # the block kernels stream every table block, so they lose to
             # XLA gather/scatter once the batch spreads too thin over the
             # table (r5 crossover sweep: wins at 651 ids/block, loses at
-            # 67) — auto turns them off for every-table-too-large configs
-            ok = any(
-                block_sorted_profitable(t.num_embeddings, args.batch_size)
+            # 67 — an 86-vs-53 ms regression at 8M rows). block_sorted_kernel
+            # is a global switch, so auto enables it only when EVERY table
+            # that would route through the kernels is profitable at its own
+            # flat-id count (batch x slots of the features reading it); one
+            # oversized table turns the mode off rather than silently paying
+            # its O(table) streaming cost (explicit --block-sorted-kernel
+            # remains the per-user override)
+            def _flat_ids(t):
+                slots = sum(f.max_ids_per_sample for f in mcfg.features
+                            if f.table == t.name)
+                return args.batch_size * max(slots, 1)
+
+            ok = all(
+                block_sorted_profitable(t.num_embeddings, _flat_ids(t))
                 for t in mcfg.tables
+                if mcfg.table_dtype_of(t.name) in ("float32", "int8")
             )
         # kernel dtype follows the user's chosen compute class: bf16 towers
         # (--compute-dtype bfloat16) get bf16 kernel operands too — same

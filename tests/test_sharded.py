@@ -566,3 +566,41 @@ def test_alltoall_overflow_survives_macro_scan(setup):
                                       donate=False)
     _, out_d = multi_d(sh_state, mb)
     assert "exchange_overflow" not in out_d
+
+
+def test_alltoall_overflow_raises_from_loop_and_eval():
+    """Capacity overflow must SURFACE: the epoch loop raises at epoch end
+    and evaluate() raises before returning metrics (the 'never drop
+    silently' invariant, CLAUDE.md) — both driven end-to-end through the
+    public loop APIs."""
+    from two_tower_recommender_model_tpu.train.loop import evaluate, train_one_epoch
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=4096, num_items=60,
+                                          embedding_dim=16, layer_sizes=(32, 8))
+    tcfg = cfg_lib.TrainConfig(
+        sharded_exchange="alltoall", exchange_capacity_factor=0.05,
+    )
+    mesh = make_mesh(8, 1)
+    plan = plan_sharding(mcfg, 8, force={
+        "t_user_id": ROW_SHARDED, "t_product_id": ROW_SHARDED})
+    state, dense_opt = create_train_state(jax.random.key(0), mcfg, tcfg)
+    sh_state = shard_train_state(state, plan, mesh)
+    step = make_sharded_train_step(mcfg, tcfg, dense_opt, mesh, plan, donate=False)
+    feat = Featurizer(mcfg)
+    sh = batch_sharding(mesh)
+
+    def batches():
+        yield {  # 64 distinct ids per data slice, all owned by shard 0
+            "user_id": (np.arange(512, dtype=np.int64) % 500) + 1,
+            "product_id": np.arange(1, 513, dtype=np.int64) % 59 + 1,
+            "label": np.ones(512, np.int64),
+        }
+
+    featurize = lambda cols: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(jnp.asarray(x), sh(x)), feat(cols))
+    with pytest.raises(RuntimeError, match="dropped .* distinct"):
+        train_one_epoch(sh_state, step, batches(), featurize, tcfg)
+
+    estep = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
+    with pytest.raises(RuntimeError, match="eval dropped"):
+        evaluate(sh_state, estep, batches(), featurize)

@@ -139,6 +139,11 @@ class ModelConfig:
         # same output dim before retrieval indexing (`03_model_training.py:1143-1145`).
         if self.query_tower.layer_sizes[-1] != self.candidate_tower.layer_sizes[-1]:
             raise ValueError("query and candidate towers must share the final layer size")
+        if self.fused_tower_backward not in ("auto", "on", "off"):
+            raise ValueError(
+                f"fused_tower_backward must be auto|on|off, got "
+                f"{self.fused_tower_backward!r}"
+            )
 
 
 def two_tower_model_config(

@@ -100,7 +100,7 @@ def _mlp2_relu(w1, b1, w2, b2, x):
 
 def _mlp2_relu_fwd(w1, b1, w2, b2, x):
     out = _mlp2_fwd_impl(w1, b1, w2, b2, x)
-    return out, (w1, b1, w2, x, out)
+    return out, (w1, b1, w2, b2, x, out)
 
 
 def _mlp2_relu_bwd(res, dq):
@@ -112,11 +112,11 @@ def _mlp2_relu_bwd(res, dq):
         tower_backward_fused,
     )
 
-    w1, b1, w2, x, out = res
+    w1, b1, w2, b2, x, out = res
     dx, dw1, db1, dw2, db2 = tower_backward_fused(
         x, dq, out, w1, b1, w2, out_dtype=x.dtype)
     return (dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype), dx)
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), dx)
 
 
 _mlp2_relu.defvjp(_mlp2_relu_fwd, _mlp2_relu_bwd)

@@ -112,10 +112,12 @@ def collective_bytes(
     per_group: dict = {}
     total = 0
 
+    from two_tower_recommender_model_tpu.parallel.sharded import _a2a_cap
+
     def a2a_cap(m: int, rows_per_shard: int) -> int:
-        cap = max(int(m * capacity_factor) // n_devices, 1)
-        cap = min(cap, rows_per_shard)
-        return -(-cap // 8) * 8
+        # the implementation's own capacity formula — the byte model can
+        # never desynchronize from the exchange it describes
+        return _a2a_cap(m, n_devices, capacity_factor, rows_per_shard)
 
     def add(group, coll, nbytes):
         nonlocal total

@@ -856,6 +856,17 @@ def make_sharded_forward(
         quantized_pooled_lookup,
     )
 
+    # the fused Pallas tower backward has no GSPMD partitioning rule — under
+    # the sharded step's jit it would trace over globally-sharded activations
+    # (untestable on this rig: the CPU mesh auto-resolves it off). "auto"
+    # therefore resolves OFF in the sharded builders; "on" stays an explicit
+    # expert override. Multi-chip fused tower backward = shard_map
+    # integration, a recorded next item.
+    import dataclasses as _dc
+
+    if model_cfg.fused_tower_backward == "auto":
+        model_cfg = _dc.replace(model_cfg, fused_tower_backward="off")
+
     lookup = make_sharded_lookup(mesh)
     a2a_lookup = None
     if exchange == "alltoall":
@@ -875,7 +886,13 @@ def make_sharded_forward(
         )
 
     def pooled_embeddings(tables, batch: Batch):
+        """(pooled, weights, overflow) — overflow is the alltoall
+        exchange's dropped-distinct-id count summed over features (None
+        under the dense exchange), so EVERY consumer of the forward can
+        surface capacity overflow instead of silently pooling zero rows
+        for the dropped ids."""
         pooled, weights = {}, {}
+        overflow = None
         for fc in model_cfg.features:
             feat = batch.features[fc.name]
             w = _pool_weights(fc, feat)
@@ -908,7 +925,8 @@ def make_sharded_forward(
                     pooled[fc.name] = quantized_pooled_lookup(table, feat.ids, w)
             elif spec.strategy == ROW_SHARDED:
                 if a2a_lookup is not None:
-                    pooled[fc.name], _ = a2a_lookup(tables[fc.table], feat.ids, w)
+                    pooled[fc.name], ovf = a2a_lookup(tables[fc.table], feat.ids, w)
+                    overflow = ovf if overflow is None else overflow + ovf
                 else:
                     pooled[fc.name] = lookup(tables[fc.table], feat.ids, w)
             elif spec.strategy == COLUMN_SHARDED:
@@ -918,13 +936,14 @@ def make_sharded_forward(
                 pooled[fc.name] = out
             else:
                 pooled[fc.name] = _local_weighted_pool(tables[fc.table], feat.ids, w)
-        return pooled, weights
+        return pooled, weights, overflow
 
     def forward(state: TrainState, batch: Batch):
-        pooled, _ = pooled_embeddings(state.tables, batch)
-        return two_tower.towers_forward(
+        pooled, _, overflow = pooled_embeddings(state.tables, batch)
+        q, c = two_tower.towers_forward(
             {**state.dense_params}, pooled, batch.dense, model_cfg
         )
+        return q, c, overflow
 
     return forward, pooled_embeddings
 
@@ -943,6 +962,14 @@ def make_sharded_train_step(
     tower grads sync over the data axis automatically (replicated params,
     data-sharded batch => XLA inserts the psum)."""
     from two_tower_recommender_model_tpu.train.step import validate_sorted_feature
+
+    # see make_sharded_forward: the fused Pallas tower backward auto-resolves
+    # OFF under the GSPMD-partitioned sharded step (this model_cfg also feeds
+    # the step body's towers_forward/value_and_grad directly)
+    import dataclasses as _dc
+
+    if model_cfg.fused_tower_backward == "auto":
+        model_cfg = _dc.replace(model_cfg, fused_tower_backward="off")
 
     loss_fn = losses_lib.loss_fn_from_config(train_cfg, model_cfg, sharded=True,
                                              mesh=mesh)
@@ -1037,7 +1064,7 @@ def make_sharded_train_step(
     cand_feature = model_cfg.candidate_tower.features[0]
 
     def step(state: TrainState, batch: Batch):
-        pooled, weights = pooled_embeddings(state.tables, batch)
+        pooled, weights, fwd_overflow = pooled_embeddings(state.tables, batch)
 
         log_q = None
         new_counts = state.item_counts
@@ -1081,7 +1108,7 @@ def make_sharded_train_step(
 
         new_tables = dict(state.tables)
         new_acc = dict(state.adagrad_acc)
-        overflow = None
+        overflow = fwd_overflow  # forward + backward routing drops, summed
         for tname, parts in per_table.items():
             ids = jnp.concatenate([p[0] for p in parts], axis=1)
             w = jnp.concatenate([p[1] for p in parts], axis=1)
@@ -1330,7 +1357,7 @@ def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh,
 
     @jax.jit
     def step(state: TrainState, eval_state: EvalState, batch: Batch):
-        q, c = forward(state, batch)
+        q, c, overflow = forward(state, batch)
         loss, logits = loss_fn(q, c, batch)
         w = batch.weights
         if w is None:
@@ -1339,9 +1366,13 @@ def make_sharded_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh,
             # zero-weight rows are padding: re-average the loss over real rows
             n = w.sum()
             loss = losses_lib.bce_with_logits(logits, batch.labels, w)
+        new_ovf = eval_state.exchange_overflow
+        if overflow is not None:
+            new_ovf = (overflow if new_ovf is None else new_ovf + overflow)
         return EvalState(
             auroc=auroc_update(eval_state.auroc, logits, batch.labels, w),
             loss=mean_update(eval_state.loss, loss, n),
+            exchange_overflow=new_ovf,
         )
 
     return step

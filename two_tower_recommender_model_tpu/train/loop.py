@@ -60,7 +60,36 @@ def evaluate(
         n += 1
     loss = float(mean_compute(es.loss)) if n else float("nan")
     auroc = float(auroc_compute(es.auroc)) if n else float("nan")
+    if es.exchange_overflow is not None and int(es.exchange_overflow) > 0:
+        raise RuntimeError(
+            f"{stage} eval dropped {int(es.exchange_overflow)} distinct ids "
+            "past the alltoall bucket capacity — metrics would be computed "
+            "on corrupted pooled embeddings; raise "
+            "TrainConfig.exchange_capacity_factor (or use the dense exchange)"
+        )
     return {f"{stage}_loss": loss, f"{stage}_auroc": auroc}
+
+
+def _accumulate_overflow(total, out):
+    """Lazily sum the alltoall exchange's dropped-id counts across steps
+    (jax-array adds only — no device sync in the hot loop); checked once at
+    epoch end by `_check_overflow`."""
+    ovf = out.get("exchange_overflow")
+    if ovf is None:
+        return total
+    ovf = ovf.sum() if getattr(ovf, "ndim", 0) else ovf
+    return ovf if total is None else total + ovf
+
+
+def _check_overflow(total, where: str) -> None:
+    if total is not None and int(total) > 0:
+        raise RuntimeError(
+            f"{where}: the alltoall exchange dropped {int(total)} distinct "
+            "ids past its bucket capacity this epoch — their embeddings did "
+            "not train. This is a configuration error: raise "
+            "TrainConfig.exchange_capacity_factor (or use "
+            "sharded_exchange=\'dense\')."
+        )
 
 
 def train_one_epoch(
@@ -85,9 +114,11 @@ def train_one_epoch(
     examples = 0
     t0 = time.perf_counter()
     last_loss = None
+    overflow = None
     for batch in pipeline_lib.prefetch_to_device(it, featurizer, sharding=sharding):
         state, out = train_step(state, batch)
         last_loss = out["loss"]
+        overflow = _accumulate_overflow(overflow, out)
         steps += 1
         examples += batch.batch_size
         if (
@@ -105,6 +136,7 @@ def train_one_epoch(
                 logger.log_metrics(metrics, step=int(state.step))
     if last_loss is not None:
         last_loss = float(jax.block_until_ready(last_loss))
+    _check_overflow(overflow, f"epoch {epoch}")
     dt = time.perf_counter() - t0
     stats = {
         "train_steps": steps,
@@ -305,12 +337,14 @@ def train_one_epoch_packed(
     next_val = vfreq or 0
     t0 = time.perf_counter()
     last_loss = None
+    overflow = None
     for mb in pipeline_lib.prefetch_to_device(
         groups(), assemble, prefetch=prefetch, num_workers=num_workers,
         sharding=sharding,
     ):
         state, out = multi_step(state, mb)
         last_loss = out["loss"][-1]
+        overflow = _accumulate_overflow(overflow, out)
         k, b = _macro_dims(mb)
         steps += k
         examples += k * b
@@ -323,11 +357,13 @@ def train_one_epoch_packed(
             pb = pipeline_lib.device_put_batch(pb, tail_sharding)
             state, out = tail_step(state, pb)
             last_loss = out["loss"]
+            overflow = _accumulate_overflow(overflow, out)
             steps += 1
             examples += pb.batch_size
             next_val = maybe_validate(state, steps, next_val)
     if last_loss is not None:
         last_loss = float(jax.block_until_ready(last_loss))
+    _check_overflow(overflow, f"epoch {epoch}")
     dt = time.perf_counter() - t0
     return state, {
         "train_steps": steps,

@@ -427,10 +427,14 @@ def stack_batches(batches: list):
 @flax.struct.dataclass
 class EvalState:
     """Running eval metrics (the reference `evaluate` loop's AUROC + mean loss,
-    `03_model_training.py:504-566`)."""
+    `03_model_training.py:504-566`). `exchange_overflow` counts distinct ids
+    the alltoall exchange dropped during eval forwards (None under the dense
+    exchange / single-device paths) — `evaluate` raises on a nonzero count
+    so capacity overflow can never silently corrupt metrics."""
 
     auroc: AUROCState
     loss: MeanState
+    exchange_overflow: jax.Array | None = None
 
 
 def eval_state_init(bins: int = 8192) -> EvalState:
