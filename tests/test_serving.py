@@ -62,3 +62,33 @@ def test_export_load_scorer_roundtrip(tmp_path):
     direct = Scorer(mcfg, params)
     inp = {"user_id": [1, 9, 33], "product_id": [2, 7, 21]}
     np.testing.assert_allclose(scorer.predict(inp), direct.predict(inp), rtol=1e-6)
+
+
+def test_retrieval_service_sharded_mesh_matches_single_device():
+    """RetrievalService(mesh=...): corpus row-sharded over every device +
+    exact sharded top-k == the single-device service, including the
+    non-device-multiple corpus (49 items -> 48 rows after the sentinel
+    isn't a multiple of 8) and a refresh()."""
+    import jax
+    from two_tower_recommender_model_tpu.parallel import make_mesh
+    from two_tower_recommender_model_tpu.models.two_tower import init_params
+    from two_tower_recommender_model_tpu.serving import RetrievalService
+
+    mcfg = cfg_lib.two_tower_model_config(num_users=80, num_items=51,
+                                          embedding_dim=16, layer_sizes=(16, 8))
+    params = init_params(jax.random.key(3), mcfg)
+    single = RetrievalService(mcfg, params)
+    mesh = make_mesh(4, 2)
+    sharded = RetrievalService(mcfg, params, mesh=mesh)
+    users = np.array([1, 5, 17, 42])
+    items_s, scores_s = single.retrieve(users, k=7)
+    items_m, scores_m = sharded.retrieve(users, k=7)
+    np.testing.assert_array_equal(items_m, items_s)
+    np.testing.assert_allclose(scores_m, scores_s, rtol=1e-5, atol=1e-6)
+
+    params2 = init_params(jax.random.key(4), mcfg)
+    single.refresh(params2)
+    sharded.refresh(params2)
+    items_s2, _ = single.retrieve(users, k=5)
+    items_m2, _ = sharded.retrieve(users, k=5)
+    np.testing.assert_array_equal(items_m2, items_s2)

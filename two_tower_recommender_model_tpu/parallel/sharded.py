@@ -1432,13 +1432,18 @@ def make_sharded_topk(mesh, k: int, corpus_chunk: int = 4096):
 
         return jax.jit(topk)
 
-    def call(queries, corpus):
+    def call(queries, corpus, valid: int | None = None):
+        """`valid`: logical corpus rows when `corpus` is ALREADY padded to a
+        device multiple (e.g. a serving corpus kept resident+sharded across
+        calls) — rows past it are masked exactly like internally-added
+        padding. Default: every row of `corpus` is real."""
         rows = corpus.shape[0]
+        n = rows if valid is None else valid
         pad = (-rows) % ndev
         if pad:
             corpus = jnp.concatenate(
                 [corpus, jnp.zeros((pad, corpus.shape[1]), corpus.dtype)])
-        return build(rows)(queries, corpus)
+        return build(n)(queries, corpus)
 
     return call
 
