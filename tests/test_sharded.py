@@ -604,3 +604,26 @@ def test_alltoall_overflow_raises_from_loop_and_eval():
     estep = make_sharded_eval_step(mcfg, tcfg, mesh, plan)
     with pytest.raises(RuntimeError, match="eval dropped"):
         evaluate(sh_state, estep, batches(), featurize)
+
+
+def test_sharded_topk_valid_count_masks_resident_padding(rng):
+    """A pre-padded resident corpus (the serving pattern) with `valid=` set
+    must mask its zero pad rows exactly like internal padding — zero rows
+    would otherwise beat all-negative true scores."""
+    from two_tower_recommender_model_tpu.parallel.sharded import make_sharded_topk
+
+    mesh = make_mesh(8, 1)
+    true_rows = 117
+    corpus = jnp.asarray(-np.abs(rng.normal(size=(true_rows, 8))) - 0.1,
+                         jnp.float32)
+    pad = (-true_rows) % 8
+    padded = jnp.concatenate([corpus, jnp.zeros((pad, 8), jnp.float32)])
+    queries = jnp.asarray(np.abs(rng.normal(size=(4, 8))) + 0.1, jnp.float32)
+    vals, idx = make_sharded_topk(mesh, k=10, corpus_chunk=16)(
+        queries, padded, valid=true_rows)
+    scores = np.asarray(queries) @ np.asarray(corpus).T
+    want_idx = np.argsort(-scores, axis=1)[:, :10]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, want_idx, 1),
+        rtol=1e-5, atol=1e-6)
+    assert np.asarray(idx).max() < true_rows
